@@ -1,0 +1,199 @@
+"""Jittable 3D non-maximum suppression.
+
+TPU-native replacement for the reference's post-processing:
+  - `aligned_3d_nms` greedy python loop (ref: nerfdet_head.py:581-629)
+    becomes a bounded `lax.fori_loop` with masked suppression — static
+    shapes, runs on-device inside jit.
+  - the ARKit head's CUDA `mmcv.ops.nms3d` (rotated) gets a BEV
+    rotated-IoU variant.
+
+Greedy NMS is inherently sequential over *picks*, but each pick's
+suppression is a vectorised O(M) step; with M <= nms_pre=1000 and
+max_out <= 256 this is a small on-device loop.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def aligned_iou_3d(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU of axis-aligned corner boxes (x1 y1 z1 x2 y2 z2).
+
+    Matches the overlap math in `aligned_3d_nms` (nerfdet_head.py:594-623)
+    and `AxisAlignedBboxOverlaps3D` (mmdet3d iou3d_calculator.py:180).
+
+    Args:
+      boxes1: (M, 6), boxes2: (N, 6).
+
+    Returns:
+      (M, N) IoU.
+    """
+    lt = jnp.maximum(boxes1[:, None, :3], boxes2[None, :, :3])
+    rb = jnp.minimum(boxes1[:, None, 3:], boxes2[None, :, 3:])
+    whd = jnp.maximum(rb - lt, 0.0)
+    inter = whd[..., 0] * whd[..., 1] * whd[..., 2]
+    vol1 = jnp.prod(jnp.maximum(boxes1[:, 3:] - boxes1[:, :3], 0.0), axis=-1)
+    vol2 = jnp.prod(jnp.maximum(boxes2[:, 3:] - boxes2[:, :3], 0.0), axis=-1)
+    union = vol1[:, None] + vol2[None, :] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+def aligned_3d_nms(boxes: jnp.ndarray, scores: jnp.ndarray,
+                   classes: jnp.ndarray, iou_thr: float,
+                   valid: jnp.ndarray,
+                   max_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy class-aware NMS on axis-aligned corner boxes.
+
+    Matches `NerfDetHead.aligned_3d_nms` (nerfdet_head.py:581-629):
+    repeatedly pick the highest-scoring active box; suppress same-class
+    boxes with IoU > iou_thr (cross-class IoU is zeroed at :624).
+
+    Args:
+      boxes: (M, 6) corner boxes.
+      scores: (M,).
+      classes: (M,) int labels.
+      iou_thr: suppression threshold.
+      valid: (M,) bool — False rows are padding / below score threshold.
+      max_out: static bound on number of picks.
+
+    Returns:
+      keep_idx: (max_out,) int32 picked indices (padded with 0).
+      keep_mask: (max_out,) bool — which slots are real picks.
+    """
+    m = boxes.shape[0]
+    iou = aligned_iou_3d(boxes, boxes)
+    same_class = classes[:, None] == classes[None, :]
+    suppress = (iou > iou_thr) & same_class                  # (M, M)
+
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    active_scores0 = jnp.where(valid, scores, neg_inf)
+
+    def body(t, state):
+        active_scores, keep_idx, keep_mask = state
+        i = jnp.argmax(active_scores)
+        ok = active_scores[i] > neg_inf
+        keep_idx = keep_idx.at[t].set(jnp.where(ok, i, 0).astype(jnp.int32))
+        keep_mask = keep_mask.at[t].set(ok)
+        # suppress everything the pick covers (incl. itself, IoU=1)
+        row = suppress[i] | (jnp.arange(m) == i)
+        active_scores = jnp.where(ok & row, neg_inf, active_scores)
+        return active_scores, keep_idx, keep_mask
+
+    state = (active_scores0,
+             jnp.zeros((max_out,), jnp.int32),
+             jnp.zeros((max_out,), bool))
+    _, keep_idx, keep_mask = jax.lax.fori_loop(0, max_out, body, state)
+    return keep_idx, keep_mask
+
+
+def corner_to_center(boxes: jnp.ndarray) -> jnp.ndarray:
+    """(x1..z2) corners -> (cx, cy, cz, w, l, h) (nerfdet_head.py:573-578)."""
+    center = (boxes[..., :3] + boxes[..., 3:]) / 2.0
+    size = boxes[..., 3:] - boxes[..., :3]
+    return jnp.concatenate([center, size], axis=-1)
+
+
+def _rotated_bev_corners(boxes7: jnp.ndarray) -> jnp.ndarray:
+    """BEV corner points of (cx, cy, cz, dx, dy, dz, yaw) boxes -> (..., 4, 2)."""
+    cx, cy = boxes7[..., 0], boxes7[..., 1]
+    dx, dy = boxes7[..., 3], boxes7[..., 4]
+    yaw = boxes7[..., 6]
+    cos, sin = jnp.cos(yaw), jnp.sin(yaw)
+    hx, hy = dx / 2, dy / 2
+    local = jnp.stack([
+        jnp.stack([hx, hy], -1), jnp.stack([-hx, hy], -1),
+        jnp.stack([-hx, -hy], -1), jnp.stack([hx, -hy], -1)], axis=-2)
+    rot = jnp.stack([jnp.stack([cos, -sin], -1),
+                     jnp.stack([sin, cos], -1)], axis=-2)
+    pts = jnp.einsum("...ij,...kj->...ki", rot, local)
+    return pts + jnp.stack([cx, cy], -1)[..., None, :]
+
+
+def rotated_iou_bev_sampled(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
+                            grid: int = 16) -> jnp.ndarray:
+    """Approximate pairwise BEV rotated IoU by point sampling.
+
+    Replaces mmcv's CUDA polygon-clipping `nms3d` IoU (used only by the
+    ARKit head, nerfdet_head.py:1213-1221) with a dense-sampling
+    estimate: rasterise box1's oriented grid and test membership in
+    box2.  Exact enough for NMS suppression decisions (error ~1/grid).
+
+    Args:
+      boxes1: (M, 7), boxes2: (N, 7) center/size/yaw boxes.
+      grid: sample resolution per axis.
+
+    Returns:
+      (M, N) approximate 3D IoU (BEV overlap x z overlap).
+    """
+    m, n = boxes1.shape[0], boxes2.shape[0]
+    # sample points inside each box1 (BEV)
+    u = (jnp.arange(grid) + 0.5) / grid - 0.5
+    ux, uy = jnp.meshgrid(u, u, indexing="ij")
+    unit = jnp.stack([ux.ravel(), uy.ravel()], -1)            # (G, 2)
+    yaw1 = boxes1[:, 6]
+    cos1, sin1 = jnp.cos(yaw1), jnp.sin(yaw1)
+    rot1 = jnp.stack([jnp.stack([cos1, -sin1], -1),
+                      jnp.stack([sin1, cos1], -1)], -2)       # (M, 2, 2)
+    pts = jnp.einsum("mij,gj->mgi", rot1, unit * boxes1[:, None, 3:5][:, 0])
+    pts = pts + boxes1[:, None, :2]                           # (M, G, 2)
+
+    # membership of pts in boxes2: rotate into box2 frame
+    yaw2 = boxes2[:, 6]
+    cos2, sin2 = jnp.cos(yaw2), jnp.sin(yaw2)
+    rel = pts[:, None, :, :] - boxes2[None, :, None, :2]      # (M, N, G, 2)
+    xl = rel[..., 0] * cos2[None, :, None] + rel[..., 1] * sin2[None, :, None]
+    yl = -rel[..., 0] * sin2[None, :, None] + rel[..., 1] * cos2[None, :, None]
+    inside = ((jnp.abs(xl) <= boxes2[None, :, None, 3] / 2)
+              & (jnp.abs(yl) <= boxes2[None, :, None, 4] / 2))
+    frac = jnp.mean(inside.astype(jnp.float32), axis=-1)      # (M, N)
+    area1 = boxes1[:, 3] * boxes1[:, 4]
+    inter_bev = frac * area1[:, None]
+
+    # z overlap (boxes are gravity-centred on cz)
+    z1lo = boxes1[:, 2] - boxes1[:, 5] / 2
+    z1hi = boxes1[:, 2] + boxes1[:, 5] / 2
+    z2lo = boxes2[:, 2] - boxes2[:, 5] / 2
+    z2hi = boxes2[:, 2] + boxes2[:, 5] / 2
+    zint = jnp.maximum(
+        jnp.minimum(z1hi[:, None], z2hi[None, :])
+        - jnp.maximum(z1lo[:, None], z2lo[None, :]), 0.0)
+    inter = inter_bev * zint
+    vol1 = area1 * boxes1[:, 5]
+    vol2 = boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5]
+    union = vol1[:, None] + vol2[None, :] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
+def rotated_3d_nms(boxes7: jnp.ndarray, scores: jnp.ndarray,
+                   classes: jnp.ndarray, iou_thr: float, valid: jnp.ndarray,
+                   max_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy class-aware NMS for yaw boxes (ARKit head path).
+
+    Same control flow as `aligned_3d_nms`, with sampled rotated IoU.
+    """
+    m = boxes7.shape[0]
+    iou = rotated_iou_bev_sampled(boxes7, boxes7)
+    same_class = classes[:, None] == classes[None, :]
+    suppress = (iou > iou_thr) & same_class
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    active_scores0 = jnp.where(valid, scores, neg_inf)
+
+    def body(t, state):
+        active_scores, keep_idx, keep_mask = state
+        i = jnp.argmax(active_scores)
+        ok = active_scores[i] > neg_inf
+        keep_idx = keep_idx.at[t].set(jnp.where(ok, i, 0).astype(jnp.int32))
+        keep_mask = keep_mask.at[t].set(ok)
+        row = suppress[i] | (jnp.arange(m) == i)
+        active_scores = jnp.where(ok & row, neg_inf, active_scores)
+        return active_scores, keep_idx, keep_mask
+
+    state = (active_scores0,
+             jnp.zeros((max_out,), jnp.int32),
+             jnp.zeros((max_out,), bool))
+    _, keep_idx, keep_mask = jax.lax.fori_loop(0, max_out, body, state)
+    return keep_idx, keep_mask

@@ -1,0 +1,136 @@
+"""Depth-weighted 2D->3D voxel feature lifting.
+
+TPU-native re-design of `backproject_Weigh`
+(ref: projects/NeRF-Det/nerfdet/mvsdet.py:1372-1492).  The reference runs
+a python loop over views with boolean fancy-indexing per depth
+hypothesis; the math is fully independent across views (each loop
+iteration only updates row i of `valid`), so here it becomes one
+vectorised per-view computation scanned over views (bounded memory, and
+exactly the formulation that view-parallel sharding psums over ICI).
+
+Per view i and voxel v (voxel centre p_v):
+  (x, y, z) = round(K[R|t]_i p_v)              # nearest-pixel, :1388-1390
+  valid0    = in-bounds and z > 0              # :1391
+  window_k  = valid0 and |z - d_k(y, x)| < voxel_size_z   # :1407-1408
+  valid     = valid0 and any_k window_k        # :1416-1427
+  w         = max_k window_k * prob_norm_k(y,x)  # :1411,1422
+  contrib   = w * feat_i(y, x)                 # :1459-1460
+Aggregated over views: mean = sum_i contrib / (sum_i valid + 1e-8),
+zeroed where no view sees the voxel (mvsdet.py:511-515, 681-682).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mvsdet_tpu.utils.precision import feinsum
+
+
+def _lift_single_view(feat: jnp.ndarray, projection: jnp.ndarray,
+                      est_depth: jnp.ndarray, prob_norm: jnp.ndarray,
+                      points: jnp.ndarray, voxel_size_z: float):
+    """One view's weighted voxel contribution.
+
+    Args:
+      feat: (H, W, C) feature map (already cropped/masked to valid pixels).
+      projection: (3, 4) K[R|t] at feature resolution.
+      est_depth: (H, W, K) top-k z-depth hypotheses.
+      prob_norm: (H, W, K) hypothesis probabilities, normalised over K.
+      points: (V, 3) voxel centres.
+      voxel_size_z: z window half-width (reference uses voxel_size[-1]).
+
+    Returns:
+      contrib: (V, C) prob-weighted features.
+      valid: (V,) bool — in-frustum and inside some depth window.
+    """
+    h, w, c = feat.shape
+    homo = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
+    p = feinsum("ij,vj->vi", projection, homo)                # (V, 3)
+    z = p[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    x = jnp.round(p[:, 0] / z_safe).astype(jnp.int32)
+    y = jnp.round(p[:, 1] / z_safe).astype(jnp.int32)
+    valid0 = (x >= 0) & (y >= 0) & (x < w) & (y < h) & (z > 0)
+
+    pix = jnp.clip(y, 0, h - 1) * w + jnp.clip(x, 0, w - 1)   # (V,)
+    depth_flat = est_depth.reshape(h * w, -1)
+    prob_flat = prob_norm.reshape(h * w, -1)
+    d_k = jnp.take(depth_flat, pix, axis=0)                   # (V, K)
+    p_k = jnp.take(prob_flat, pix, axis=0)                    # (V, K)
+
+    window = (valid0[:, None]
+              & (z[:, None] > d_k - voxel_size_z)
+              & (z[:, None] < d_k + voxel_size_z))            # (V, K)
+    valid = jnp.any(window, axis=1)
+    weight = jnp.max(jnp.where(window, p_k, 0.0), axis=1)     # (V,)
+
+    feat_flat = feat.reshape(h * w, c)
+    gathered = jnp.take(feat_flat, pix, axis=0)               # (V, C)
+    contrib = gathered * weight[:, None]
+    return contrib, valid
+
+
+def lift_features_to_voxels(
+    features: jnp.ndarray,
+    projections: jnp.ndarray,
+    est_depth: jnp.ndarray,
+    est_prob: jnp.ndarray,
+    points: jnp.ndarray,
+    voxel_size_z: float,
+    view_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aggregate depth-weighted per-view features into the voxel grid.
+
+    Scans over views (one (V, C) contribution live at a time); under view
+    sharding each device scans its local views and the two outputs are
+    psum-reduced.
+
+    Args:
+      features: (N, H, W, C).
+      projections: (N, 3, 4).
+      est_depth: (N, H, W, K) top-k z-depths.
+      est_prob: (N, H, W, K) hypothesis probabilities (will be normalised
+        over K per pixel, matching mvsdet.py:1395-1396).
+      points: (V, 3) voxel centres.
+      voxel_size_z: z window half-width.
+      view_mask: optional (N,) bool; False views contribute nothing
+        (static-shape padding of the view axis).
+
+    Returns:
+      volume_sum: (V, C) sum of weighted contributions over views.
+      valid_count: (V,) float number of views whose depth window contains
+        the voxel.  Callers form the mean as
+        ``volume_sum / (valid_count + 1e-8)`` zeroed where count == 0
+        (mvsdet.py:511-515).
+    """
+    n = features.shape[0]
+    v = points.shape[0]
+    c = features.shape[-1]
+    prob_norm = est_prob / (jnp.sum(est_prob, axis=-1, keepdims=True) + 1e-12)
+    if view_mask is None:
+        view_mask = jnp.ones((n,), bool)
+
+    def body(carry, inputs):
+        vol, cnt = carry
+        feat, proj, d, p, m = inputs
+        contrib, valid = _lift_single_view(feat, proj, d, p, points,
+                                           voxel_size_z)
+        mf = m.astype(vol.dtype)
+        vol = vol + contrib * mf
+        cnt = cnt + valid.astype(cnt.dtype) * mf
+        return (vol, cnt), None
+
+    init = (jnp.zeros((v, c), features.dtype), jnp.zeros((v,), jnp.float32))
+    (vol, cnt), _ = jax.lax.scan(
+        body, init, (features, projections, est_depth, prob_norm, view_mask))
+    return vol, cnt
+
+
+def finalize_volume(volume_sum: jnp.ndarray,
+                    valid_count: jnp.ndarray) -> jnp.ndarray:
+    """View-mean with empty voxels zeroed (mvsdet.py:511-515, 681-682)."""
+    mean = volume_sum / (valid_count[:, None] + 1e-8)
+    return jnp.where(valid_count[:, None] > 0, mean, 0.0)

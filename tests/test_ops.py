@@ -1,0 +1,271 @@
+"""Golden tests for the compute ops against naive numpy re-derivations
+of the reference semantics (mvsdet.py / module.py / nerfdet_head.py)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from mvsdet_tpu.ops import nms as nms_ops
+from mvsdet_tpu.ops import plane_sweep, sampling, voxel_lift
+
+
+def np_bilinear_zeros(img, x, y):
+    """Naive zero-padded bilinear sample. img: (H, W, C)."""
+    h, w, c = img.shape
+    x0, y0 = np.floor(x).astype(int), np.floor(y).astype(int)
+    out = np.zeros(x.shape + (c,), np.float64)
+    for dx, dy in [(0, 0), (1, 0), (0, 1), (1, 1)]:
+        xi, yi = x0 + dx, y0 + dy
+        wgt = ((1 - abs(x - xi)) * (1 - abs(y - yi)))
+        valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        vals = img[np.clip(yi, 0, h - 1), np.clip(xi, 0, w - 1)]
+        out += vals * (wgt * valid)[..., None]
+    return out
+
+
+class TestBilinearSample:
+    def test_matches_naive(self):
+        rng = np.random.RandomState(0)
+        img = rng.rand(7, 9, 4).astype(np.float32)
+        coords = rng.rand(50, 2) * [12, 10] - 2  # includes out-of-bounds
+        got = np.asarray(
+            sampling.bilinear_sample(jnp.asarray(img),
+                                     jnp.asarray(coords, jnp.float32)))
+        want = np_bilinear_zeros(img, coords[:, 0], coords[:, 1])
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_integer_coords_hit_pixels(self):
+        img = np.arange(12, dtype=np.float32).reshape(3, 4, 1)
+        got = np.asarray(
+            sampling.bilinear_sample(jnp.asarray(img),
+                                     jnp.asarray([[2.0, 1.0]])))
+        np.testing.assert_allclose(got[0, 0], img[1, 2, 0])
+
+
+def random_camera(rng, n):
+    """n cameras looking at the origin from a ring."""
+    w2c = []
+    for i in range(n):
+        ang = 2 * np.pi * i / n + rng.rand() * 0.1
+        eye = np.array([2.5 * np.cos(ang), 2.5 * np.sin(ang),
+                        1.2 + 0.2 * rng.rand()])
+        fwd = -eye / np.linalg.norm(eye)
+        right = np.cross(fwd, [0, 0, 1.0])
+        right /= np.linalg.norm(right)
+        down = np.cross(fwd, right)
+        c2w = np.eye(4)
+        c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = right, down, fwd, eye
+        w2c.append(np.linalg.inv(c2w))
+    return np.stack(w2c).astype(np.float32)
+
+
+class TestPlaneSweep:
+    def test_variance_matches_naive(self):
+        rng = np.random.RandomState(1)
+        n, h, w, c, d, k = 4, 6, 8, 3, 5, 2
+        feats = rng.rand(n, h, w, c).astype(np.float32)
+        w2c = random_camera(rng, n)
+        kmat = np.eye(4, dtype=np.float32)
+        kmat[0, 0] = kmat[1, 1] = 10.0
+        kmat[0, 2], kmat[1, 2] = w / 2, h / 2
+        proj = np.einsum("ij,njk->nik", kmat, w2c)
+        nb = np.stack([(np.arange(n) + 1) % n, (np.arange(n) + 2) % n], -1)
+        depths = np.linspace(0.5, 4.0, d).astype(np.float32)
+
+        got = np.asarray(plane_sweep.plane_sweep_variance(
+            jnp.asarray(feats), jnp.asarray(proj), jnp.asarray(nb),
+            jnp.asarray(depths)))
+
+        # naive per-view reference (module.py:105-146 + mvsdet.py:438-467)
+        for i in range(n):
+            members = [np.broadcast_to(feats[i][None], (d, h, w, c))]
+            for j in range(k):
+                s = nb[i, j]
+                rel = proj[s] @ np.linalg.inv(proj[i])
+                rot, tr = rel[:3, :3], rel[:3, 3]
+                ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+                xyz = np.stack([xs, ys, np.ones_like(xs)], -1).astype(np.float64)
+                warped = np.zeros((d, h, w, c))
+                for di in range(d):
+                    p = xyz @ rot.T * depths[di] + tr
+                    px = p[..., 0] / p[..., 2]
+                    py = p[..., 1] / p[..., 2]
+                    warped[di] = np_bilinear_zeros(feats[s], px, py)
+                members.append(warped)
+            stack = np.stack(members)
+            want = stack.mean(0) * 0 + (np.mean(stack**2, 0)
+                                        - np.mean(stack, 0) ** 2)
+            np.testing.assert_allclose(got[i], want, rtol=1e-3, atol=1e-4)
+
+    def test_chunked_matches_full(self):
+        rng = np.random.RandomState(2)
+        n, h, w, c, d = 5, 4, 6, 2, 3
+        feats = jnp.asarray(rng.rand(n, h, w, c), jnp.float32)
+        w2c = random_camera(rng, n)
+        kmat = np.eye(4, dtype=np.float32)
+        kmat[0, 0] = kmat[1, 1] = 8.0
+        kmat[0, 2], kmat[1, 2] = 3.0, 2.0
+        proj = jnp.asarray(np.einsum("ij,njk->nik", kmat, w2c))
+        nb = jnp.asarray(np.stack([(np.arange(n) + 1) % n,
+                                   (np.arange(n) + 4) % n], -1))
+        depths = jnp.asarray(np.linspace(0.5, 3.0, d), jnp.float32)
+        full = np.asarray(
+            plane_sweep.plane_sweep_variance(feats, proj, nb, depths))
+        part = np.asarray(plane_sweep.plane_sweep_variance_for_refs(
+            feats, proj, jnp.asarray([1, 3]), nb[jnp.asarray([1, 3])], depths))
+        np.testing.assert_allclose(part[0], full[1], rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(part[1], full[3], rtol=1e-5, atol=1e-6)
+
+
+class TestVoxelLift:
+    def test_matches_naive_reference_semantics(self):
+        rng = np.random.RandomState(3)
+        n, h, w, c, kk = 3, 6, 8, 4, 2
+        nx, ny, nz = 4, 4, 3
+        v = nx * ny * nz
+        feats = rng.rand(n, h, w, c).astype(np.float32)
+        w2c = random_camera(rng, n)
+        kmat = np.eye(4, dtype=np.float32)
+        kmat[0, 0] = kmat[1, 1] = 6.0
+        kmat[0, 2], kmat[1, 2] = w / 2, h / 2
+        proj = np.einsum("ij,njk->nik", kmat, w2c)[:, :3]
+        pts = (rng.rand(v, 3) * 2 - 1).astype(np.float32)
+        est_depth = (rng.rand(n, h, w, kk) * 3 + 0.3).astype(np.float32)
+        est_prob = rng.rand(n, h, w, kk).astype(np.float32)
+        vz = 0.4
+
+        vol, cnt = voxel_lift.lift_features_to_voxels(
+            jnp.asarray(feats), jnp.asarray(proj), jnp.asarray(est_depth),
+            jnp.asarray(est_prob), jnp.asarray(pts), vz)
+        vol, cnt = np.asarray(vol), np.asarray(cnt)
+
+        # naive re-derivation of backproject_Weigh (mvsdet.py:1372-1492)
+        prob_norm = est_prob / est_prob.sum(-1, keepdims=True)
+        want_vol = np.zeros((v, c))
+        want_cnt = np.zeros(v)
+        for i in range(n):
+            homo = np.concatenate([pts, np.ones((v, 1))], -1)
+            p = homo @ proj[i].T
+            x = np.round(p[:, 0] / p[:, 2]).astype(int)
+            y = np.round(p[:, 1] / p[:, 2]).astype(int)
+            z = p[:, 2]
+            valid0 = (x >= 0) & (y >= 0) & (x < w) & (y < h) & (z > 0)
+            xs, ys = np.clip(x, 0, w - 1), np.clip(y, 0, h - 1)
+            window = np.zeros((v, kk), bool)
+            for j in range(kk):
+                dj = est_depth[i, ys, xs, j]
+                window[:, j] = valid0 & (z > dj - vz) & (z < dj + vz)
+            valid = window.any(1)
+            weight = np.where(window, prob_norm[i, ys, xs, :], 0).max(1)
+            want_vol += feats[i, ys, xs] * weight[:, None]
+            want_cnt += valid
+        np.testing.assert_allclose(cnt, want_cnt, atol=1e-6)
+        np.testing.assert_allclose(vol, want_vol, rtol=1e-4, atol=1e-5)
+        # at least some voxels should be hit in this setup
+        assert want_cnt.sum() > 0
+
+    def test_view_mask_excludes_views(self):
+        rng = np.random.RandomState(4)
+        n, h, w, c, kk, v = 3, 4, 4, 2, 1, 10
+        feats = jnp.asarray(rng.rand(n, h, w, c), jnp.float32)
+        proj = jnp.asarray(
+            np.tile(np.eye(3, 4, dtype=np.float32)[None], (n, 1, 1)))
+        d = jnp.asarray(np.full((n, h, w, kk), 1.0), jnp.float32)
+        p = jnp.ones((n, h, w, kk), jnp.float32)
+        pts = jnp.asarray(rng.rand(v, 3), jnp.float32)
+        mask = jnp.asarray([True, False, True])
+        vol_m, cnt_m = voxel_lift.lift_features_to_voxels(
+            feats, proj, d, p, pts, 0.5, view_mask=mask)
+        vol_2, cnt_2 = voxel_lift.lift_features_to_voxels(
+            feats[jnp.asarray([0, 2])], proj[jnp.asarray([0, 2])],
+            d[jnp.asarray([0, 2])], p[jnp.asarray([0, 2])], pts, 0.5)
+        np.testing.assert_allclose(np.asarray(vol_m), np.asarray(vol_2),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cnt_m), np.asarray(cnt_2),
+                                   atol=1e-6)
+
+    def test_finalize_zeroes_empty(self):
+        vol = jnp.asarray(np.ones((4, 2), np.float32))
+        cnt = jnp.asarray([2.0, 0.0, 1.0, 0.0])
+        out = np.asarray(voxel_lift.finalize_volume(vol, cnt))
+        np.testing.assert_allclose(out[0], 0.5, rtol=1e-5)
+        np.testing.assert_allclose(out[1], 0.0)
+        np.testing.assert_allclose(out[3], 0.0)
+
+
+def python_greedy_nms(boxes, scores, classes, thr):
+    """Direct transcription of the reference greedy loop semantics."""
+    order = list(np.argsort(scores))
+    pick = []
+    while order:
+        i = order[-1]
+        pick.append(i)
+        rest = order[:-1]
+        keep = []
+        for j in rest:
+            lt = np.maximum(boxes[i, :3], boxes[j, :3])
+            rb = np.minimum(boxes[i, 3:], boxes[j, 3:])
+            whd = np.maximum(rb - lt, 0)
+            inter = whd.prod()
+            vol_i = np.maximum(boxes[i, 3:] - boxes[i, :3], 0).prod()
+            vol_j = np.maximum(boxes[j, 3:] - boxes[j, :3], 0).prod()
+            iou = inter / (vol_i + vol_j - inter)
+            if classes[i] != classes[j]:
+                iou = 0.0
+            if iou <= thr:
+                keep.append(j)
+        order = keep
+    return pick
+
+
+class TestAlignedNMS:
+    def test_matches_python_greedy(self):
+        rng = np.random.RandomState(5)
+        m = 40
+        centers = rng.rand(m, 3) * 4
+        sizes = rng.rand(m, 3) * 1.5 + 0.2
+        boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], -1)
+        scores = rng.rand(m).astype(np.float32)
+        classes = rng.randint(0, 3, m)
+        want = python_greedy_nms(boxes, scores, classes, 0.25)
+        idx, mask = nms_ops.aligned_3d_nms(
+            jnp.asarray(boxes, jnp.float32), jnp.asarray(scores),
+            jnp.asarray(classes), 0.25, jnp.ones(m, bool), max_out=m)
+        got = list(np.asarray(idx)[np.asarray(mask)])
+        assert got == want
+
+    def test_respects_valid_mask(self):
+        boxes = np.array([[0, 0, 0, 1, 1, 1], [5, 5, 5, 6, 6, 6.0]],
+                         np.float32)
+        scores = jnp.asarray([0.9, 0.8])
+        idx, mask = nms_ops.aligned_3d_nms(
+            jnp.asarray(boxes), scores, jnp.asarray([0, 0]), 0.25,
+            jnp.asarray([False, True]), max_out=4)
+        got = list(np.asarray(idx)[np.asarray(mask)])
+        assert got == [1]
+
+    def test_corner_to_center(self):
+        b = jnp.asarray([[0.0, 0, 0, 2, 4, 6]])
+        out = np.asarray(nms_ops.corner_to_center(b))
+        np.testing.assert_allclose(out[0], [1, 2, 3, 2, 4, 6])
+
+
+class TestRotatedIoU:
+    def test_axis_aligned_case_matches_exact(self):
+        b1 = jnp.asarray([[0.0, 0, 0, 2, 2, 2, 0]])
+        b2 = jnp.asarray([[1.0, 0, 0, 2, 2, 2, 0]])
+        iou = float(nms_ops.rotated_iou_bev_sampled(b1, b2, grid=32)[0, 0])
+        # inter = 1*2*2 = 4; union = 8 + 8 - 4 = 12
+        assert abs(iou - 4 / 12) < 0.02
+
+    def test_rotation_invariance_of_self_iou(self):
+        b = jnp.asarray([[0.0, 0, 0, 2, 1, 1, 0.7]])
+        iou = float(nms_ops.rotated_iou_bev_sampled(b, b, grid=32)[0, 0])
+        assert abs(iou - 1.0) < 0.05
+
+    def test_rotated_90deg_overlap(self):
+        b1 = jnp.asarray([[0.0, 0, 0, 4, 1, 1, 0]])
+        b2 = jnp.asarray([[0.0, 0, 0, 4, 1, 1, np.pi / 2]])
+        iou = float(nms_ops.rotated_iou_bev_sampled(b1, b2, grid=64)[0, 0])
+        # overlap 1x1 = 1; union 4+4-1 = 7
+        assert abs(iou - 1 / 7) < 0.03
