@@ -225,8 +225,9 @@ def tiny_test_config() -> Config:
     model = dataclasses.replace(
         base.model,
         n_voxels=(8, 8, 4),
-        image_size=(32, 40),
-        target_size=(16, 20),
+        # spatial dims must stay divisible by 4 through the U-Nets
+        image_size=(32, 48),
+        target_size=(16, 24),
         gs=dataclasses.replace(
             base.model.gs, num_depth_planes=4,
             adapter=GaussianAdapterConfig(sh_degree=1),
