@@ -1,0 +1,194 @@
+"""Differentiable Gaussian-splatting renderer (XLA path).
+
+TPU-native replacement for the CUDA tile rasterizer the reference vendors
+(`diff-gaussian-rasterization`, invoked via
+gs_src/model/decoder/cuda_splatting.py:49-138): perspective EWA splatting
+with front-to-back alpha compositing, matching the CUDA kernel's math —
+view-space 2D covariance via the clamped EWA Jacobian + 0.3 low-pass,
+conic alpha evaluation, 0.99 alpha clamp, 1/255 cutoff, SH view-dependent
+color.
+
+Design: instead of tile binning + atomic compositing (a CUDA pattern),
+gaussians are globally depth-sorted once per view and composited with an
+exclusive log-space cumulative transmittance along the sorted axis; the
+pixel axis is processed in chunks via `lax.map` so peak memory is
+(chunk x G).  Exact (no tile approximation), fully differentiable by
+autodiff, and vectorisable.  The Pallas tile-culled kernel
+(`mvsdet_tpu.ops.pallas`) is the fast path; this is the oracle.
+
+Scale-invariant pre-scaling (cuda_splatting.py:67-74) is a CUDA numerical
+work-around and is mathematically a no-op, so it is intentionally
+omitted.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mvsdet_tpu.geometry.sh import eval_sh_color
+from mvsdet_tpu.utils.precision import feinsum
+
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+
+
+def project_gaussians(means: jnp.ndarray, covariances: jnp.ndarray,
+                      c2w: jnp.ndarray, intrinsics_norm: jnp.ndarray,
+                      image_shape: Tuple[int, int],
+                      near_clip: float = 0.2):
+    """Project world Gaussians into one camera.
+
+    Args:
+      means: (G, 3) world means.
+      covariances: (G, 3, 3) world covariances.
+      c2w: (4, 4) camera-to-world.
+      intrinsics_norm: (3, 3) normalised K (principal/focal in 0..1).
+      image_shape: (H, W) output resolution.
+      near_clip: view-space z cull (the CUDA rasterizer uses 0.2).
+
+    Returns:
+      mean2d: (G, 2) pixel-space centres.
+      conic: (G, 3) inverse-covariance upper triangle (a, b, c).
+      z: (G,) view-space depth.
+      valid: (G,) bool in-front mask.
+    """
+    h, w = image_shape
+    w2c = jnp.linalg.inv(c2w)
+    rot = w2c[:3, :3]
+    t = feinsum("ij,gj->gi", rot, means) + w2c[:3, 3]         # (G, 3)
+    z = t[:, 2]
+    valid = z > near_clip
+    z_safe = jnp.maximum(z, near_clip)
+
+    fx = intrinsics_norm[0, 0] * w
+    fy = intrinsics_norm[1, 1] * h
+    cx = intrinsics_norm[0, 2] * w
+    cy = intrinsics_norm[1, 2] * h
+    mean2d = jnp.stack([fx * t[:, 0] / z_safe + cx,
+                        fy * t[:, 1] / z_safe + cy], axis=-1)
+
+    # EWA Jacobian with the CUDA kernel's frustum clamp (1.3 * tan_fov)
+    tan_x = 0.5 * w / fx
+    tan_y = 0.5 * h / fy
+    txz = jnp.clip(t[:, 0] / z_safe, -1.3 * tan_x, 1.3 * tan_x)
+    tyz = jnp.clip(t[:, 1] / z_safe, -1.3 * tan_y, 1.3 * tan_y)
+    zero = jnp.zeros_like(z_safe)
+    j = jnp.stack([
+        jnp.stack([fx / z_safe, zero, -fx * txz / z_safe], -1),
+        jnp.stack([zero, fy / z_safe, -fy * tyz / z_safe], -1),
+    ], axis=-2)                                               # (G, 2, 3)
+    jw = feinsum("gij,jk->gik", j, rot)                       # (G, 2, 3)
+    cov2d = feinsum("gij,gjk,glk->gil", jw, covariances, jw)  # (G, 2, 2)
+    # low-pass: every splat is at least ~1px (CUDA kernel adds 0.3)
+    cov2d = cov2d + 0.3 * jnp.eye(2, dtype=cov2d.dtype)
+
+    a = cov2d[:, 0, 0]
+    b = cov2d[:, 0, 1]
+    c = cov2d[:, 1, 1]
+    det = a * c - b * b
+    det_safe = jnp.where(det > 1e-12, det, 1.0)
+    conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
+    valid = valid & (det > 1e-12)
+    return mean2d, conic, z, valid
+
+
+def render_view(means: jnp.ndarray, covariances: jnp.ndarray,
+                harmonics: jnp.ndarray, opacities: jnp.ndarray,
+                c2w: jnp.ndarray, intrinsics_norm: jnp.ndarray,
+                image_shape: Tuple[int, int],
+                background: Optional[jnp.ndarray] = None,
+                pixel_chunk: int = 4096,
+                near_clip: float = 0.2,
+                value_override: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Render one target view from a Gaussian set.
+
+    Args:
+      means/covariances/opacities: (G, ...) world Gaussians.
+      harmonics: (G, 3, d_sh) SH color coefficients.
+      c2w, intrinsics_norm: target camera.
+      image_shape: (H, W).
+      background: (3,) background color (default zeros,
+        dataset.background_color in mvsdet_res50_2x_low_res.py:35).
+      pixel_chunk: pixels per compositing chunk (memory bound).
+      value_override: optional (G, C) values to composite instead of SH
+        color (e.g. per-gaussian depth for `render_depth`,
+        cuda_splatting.py:237-280).
+
+    Returns:
+      (H, W, C) composited image (C=3 or value dimension).
+    """
+    h, w = image_shape
+    mean2d, conic, z, valid = project_gaussians(
+        means, covariances, c2w, intrinsics_norm, image_shape, near_clip)
+
+    if value_override is None:
+        cam_pos = c2w[:3, 3]
+        dirs = means - cam_pos
+        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+        values = eval_sh_color(harmonics, dirs)               # (G, 3)
+    else:
+        values = value_override
+    n_ch = values.shape[-1]
+    if background is None:
+        background = jnp.zeros((n_ch,), values.dtype)
+
+    # global front-to-back depth order; invalid gaussians sort last
+    order = jnp.argsort(jnp.where(valid, z, jnp.inf))
+    mean2d_s = mean2d[order]
+    conic_s = conic[order]
+    val_s = values[order]
+    op_s = jnp.where(valid, opacities, 0.0)[order]
+
+    ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    pix = jnp.stack([xs.ravel(), ys.ravel()], -1)             # (HW, 2)
+    n_pix = h * w
+    pad = (-n_pix) % pixel_chunk
+    pix = jnp.pad(pix, ((0, pad), (0, 0)))
+    chunks = pix.reshape(-1, pixel_chunk, 2)
+
+    def render_chunk(p):
+        d = p[:, None, :] - mean2d_s[None, :, :]              # (P, G, 2)
+        dx, dy = d[..., 0], d[..., 1]
+        power = (-0.5 * (conic_s[None, :, 0] * dx * dx
+                         + conic_s[None, :, 2] * dy * dy)
+                 - conic_s[None, :, 1] * dx * dy)
+        alpha = jnp.minimum(op_s[None, :] * jnp.exp(jnp.minimum(power, 0.0)),
+                            ALPHA_MAX)
+        alpha = jnp.where((power <= 0.0) & (alpha >= ALPHA_MIN), alpha, 0.0)
+        # exclusive transmittance via log-space cumsum
+        log_t = jnp.cumsum(jnp.log1p(-alpha), axis=1)
+        t_excl = jnp.exp(jnp.concatenate(
+            [jnp.zeros_like(log_t[:, :1]), log_t[:, :-1]], axis=1))
+        wgt = t_excl * alpha                                  # (P, G)
+        out = feinsum("pg,gc->pc", wgt, val_s)
+        t_final = jnp.exp(log_t[:, -1])
+        return out + t_final[:, None] * background[None, :]
+
+    out = jax.lax.map(render_chunk, chunks)
+    return out.reshape(-1, n_ch)[:n_pix].reshape(h, w, n_ch)
+
+
+def render_views(means, covariances, harmonics, opacities, c2ws,
+                 intrinsics_norm, image_shape, background=None,
+                 pixel_chunk: int = 4096) -> jnp.ndarray:
+    """Render several target views of the same Gaussian set.
+
+    Equivalent of `DecoderSplattingCUDA.forward`
+    (decoder_splatting_cuda.py:37-71).
+
+    Args:
+      c2ws: (T, 4, 4); intrinsics_norm: (T, 3, 3).
+
+    Returns:
+      (T, H, W, 3).
+    """
+    def one(args):
+        c2w, k = args
+        return render_view(means, covariances, harmonics, opacities, c2w, k,
+                           image_shape, background, pixel_chunk)
+
+    return jax.lax.map(one, (c2ws, intrinsics_norm))
