@@ -24,25 +24,28 @@ Dtype = Any
 class CostRegNet(nn.Module):
     in_channels: int = 256
     base: int = 64
+    # GroupNorm by default: scan-safe when the view axis is chunked (the
+    # reference's own GN variant: mvs_models/mvsnet.py:116)
+    norm: str = "group"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         b = self.base
-        conv0 = ConvBnReLU(b, dims=3, dtype=self.dtype,
+        conv0 = ConvBnReLU(b, dims=3, norm=self.norm, dtype=self.dtype,
                            name="conv0")(x, train)
-        d1 = ConvBnReLU(b * 2, strides=2, dims=3, dtype=self.dtype,
+        d1 = ConvBnReLU(b * 2, strides=2, dims=3, norm=self.norm, dtype=self.dtype,
                         name="conv1")(conv0, train)
-        conv2 = ConvBnReLU(b * 2, dims=3, dtype=self.dtype,
+        conv2 = ConvBnReLU(b * 2, dims=3, norm=self.norm, dtype=self.dtype,
                            name="conv2")(d1, train)
-        d3 = ConvBnReLU(b * 4, strides=2, dims=3, dtype=self.dtype,
+        d3 = ConvBnReLU(b * 4, strides=2, dims=3, norm=self.norm, dtype=self.dtype,
                         name="conv3")(conv2, train)
-        bottom = ConvBnReLU(b * 4, dims=3, dtype=self.dtype,
+        bottom = ConvBnReLU(b * 4, dims=3, norm=self.norm, dtype=self.dtype,
                             name="conv4")(d3, train)
-        up9 = DeconvBnReLU(b * 2, dims=3, dtype=self.dtype,
+        up9 = DeconvBnReLU(b * 2, dims=3, norm=self.norm, dtype=self.dtype,
                            name="conv9")(bottom, train)
         x = conv2 + up9
-        up11 = DeconvBnReLU(b, dims=3, dtype=self.dtype,
+        up11 = DeconvBnReLU(b, dims=3, norm=self.norm, dtype=self.dtype,
                             name="conv11")(x, train)
         x = conv0 + up11
         out = nn.Conv(2, (3, 3, 3), padding="SAME", dtype=self.dtype,

@@ -30,9 +30,11 @@ class FPN(nn.Module):
                     name=f"lateral{i}")(x)
             for i, x in enumerate(inputs)
         ]
-        # top-down pathway: nearest-neighbour upsample (mmdet default)
+        # top-down pathway: nearest-neighbour resize to the exact lateral
+        # shape (mmdet FPN uses F.interpolate(size=...))
         for i in range(len(laterals) - 1, 0, -1):
-            up = _nearest_upsample_2x(laterals[i])
+            up = jax.image.resize(laterals[i], laterals[i - 1].shape,
+                                  method="nearest")
             laterals[i - 1] = laterals[i - 1] + up
         outs = [
             nn.Conv(self.out_channels, (3, 3), padding="SAME",
@@ -41,8 +43,3 @@ class FPN(nn.Module):
         ]
         return tuple(outs[: self.num_outs])
 
-
-def _nearest_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
-    n, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
-    return x.reshape(n, h * 2, w * 2, c)

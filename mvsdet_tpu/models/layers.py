@@ -44,13 +44,35 @@ class FrozenBatchNorm(nn.Module):
         return x * inv + b
 
 
+def _norm_layer(norm: str, dtype, train: bool):
+    """Normalisation factory.
+
+    ``batch``: live batch statistics (BN batch = view axis, matching
+    DDP's unsynced per-device BN — the reference never opts into SyncBN,
+    tools/train.py:30-34).  ``group``: GroupNorm — the scan-safe,
+    batch-size-independent choice used inside view-chunked scans where
+    BN running stats cannot be threaded (the reference itself carries a
+    GroupNorm cost-reg variant, mvs_models/mvsnet.py:116).
+    """
+    if norm == "batch":
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=dtype)
+    if norm == "group":
+        def gn(x):
+            gs = max(d for d in (8, 4, 2, 1) if x.shape[-1] % d == 0)
+            return nn.GroupNorm(num_groups=None, group_size=gs, epsilon=1e-5,
+                                dtype=dtype)(x)
+        return gn
+    if norm == "none":
+        return lambda x: x
+    raise ValueError(f"unknown norm {norm!r}")
+
+
 class ConvBnReLU(nn.Module):
-    """Conv -> BatchNorm -> (ReLU), any spatial rank.
+    """Conv -> Norm -> (ReLU), any spatial rank.
 
     Mirrors the reference's ConvBnReLU/ConvBnReLU3D blocks
-    (mvs_models/module.py:6-52) with live batch statistics during
-    training (BN batch = view axis, matching DDP's per-device BN — the
-    reference does not sync BN, tools/train.py:30-34).
+    (mvs_models/module.py:6-52); see `_norm_layer` for the norm options.
     """
 
     features: int
@@ -58,6 +80,7 @@ class ConvBnReLU(nn.Module):
     strides: Union[int, Tuple[int, ...]] = 1
     relu: bool = True
     dims: int = 2
+    norm: str = "batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -68,15 +91,14 @@ class ConvBnReLU(nn.Module):
             else self.strides
         x = nn.Conv(self.features, kernel, strides, padding="SAME",
                     use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype)(x)
+        x = _norm_layer(self.norm, self.dtype, train)(x)
         if self.relu:
             x = nn.relu(x)
         return x
 
 
 class DeconvBnReLU(nn.Module):
-    """ConvTranspose (2x upsample) -> BatchNorm -> ReLU.
+    """ConvTranspose (2x upsample) -> Norm -> ReLU.
 
     Mirrors nn.ConvTranspose3d(k=3, s=2, p=1, output_padding=1) + BN +
     ReLU (mvs_models/mvsnet.py:92-100): exact spatial doubling.
@@ -86,6 +108,7 @@ class DeconvBnReLU(nn.Module):
     kernel: int = 3
     dims: int = 3
     relu: bool = True
+    norm: str = "batch"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -93,8 +116,7 @@ class DeconvBnReLU(nn.Module):
         x = nn.ConvTranspose(self.features, (self.kernel,) * self.dims,
                              strides=(2,) * self.dims, padding="SAME",
                              use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype)(x)
+        x = _norm_layer(self.norm, self.dtype, train)(x)
         if self.relu:
             x = nn.relu(x)
         return x
