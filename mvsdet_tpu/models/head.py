@@ -210,7 +210,8 @@ def axis_aligned_iou(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 def head_loss(head_outs, points_per_level, valid_per_level,
               gt_boxes, gt_labels, gt_mask, cfg: HeadConfig,
-              n_pos_override: Optional[jnp.ndarray] = None):
+              n_pos_override: Optional[jnp.ndarray] = None,
+              axis_name: Optional[str] = None):
     """Single-scene head loss (`_loss_by_feat_single`, nerfdet_head.py:206-257).
 
     Args:
@@ -239,7 +240,14 @@ def head_loss(head_outs, points_per_level, valid_per_level,
 
     pos = (labels_t >= 0) & valid
     n_pos_local = jnp.sum(pos.astype(jnp.float32))
-    n_pos = n_pos_local if n_pos_override is None else n_pos_override
+    if n_pos_override is not None:
+        n_pos = n_pos_override
+    elif axis_name is not None:
+        # cross-replica averaged positive count, the reference's
+        # `reduce_mean` (nerfdet_head.py:231)
+        n_pos = jax.lax.pmean(n_pos_local, axis_name)
+    else:
+        n_pos = n_pos_local
     n_pos = jnp.maximum(n_pos, 1.0)
 
     # cls: focal over valid points (background included)

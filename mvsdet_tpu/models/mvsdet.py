@@ -93,7 +93,8 @@ class MVSDet(nn.Module):
         return self.fpn(feats)[0]                             # (N, h, w, C)
 
     def depth_probabilities(self, features: jnp.ndarray, proj44: jnp.ndarray,
-                            neighbor_ids: jnp.ndarray, train: bool):
+                            neighbor_ids: jnp.ndarray, train: bool,
+                            ref_ids: jnp.ndarray = None):
         """Chunk-scanned plane sweep + cost regularisation.
 
         The full variance volume is ~2.5 GB fp32 at ScanNet scale; views
@@ -104,7 +105,7 @@ class MVSDet(nn.Module):
         offset sigmoided (mvsdet.py:470-475).
         """
         mc = self.cfg
-        n = features.shape[0]
+        n = features.shape[0] if ref_ids is None else ref_ids.shape[0]
         depths = depth_plane_values(*mc.near_far_range,
                                     mc.gs.num_depth_planes)
         chunk = self.sweep_chunk
@@ -121,7 +122,7 @@ class MVSDet(nn.Module):
             return prob, off
 
         remat_step = nn.remat(step, prevent_cse=False)
-        ids = jnp.arange(n).reshape(-1, chunk)
+        ids = (jnp.arange(n) if ref_ids is None else ref_ids).reshape(-1, chunk)
         probs, offs = [], []
         for i in range(ids.shape[0]):
             p, o = remat_step(self, ids[i])
@@ -225,7 +226,8 @@ class MVSDet(nn.Module):
     # full forward
     # ------------------------------------------------------------------
 
-    def extract_feat(self, batch: Dict[str, jnp.ndarray], train: bool):
+    def extract_feat(self, batch: Dict[str, jnp.ndarray], train: bool,
+                     view_axis: str = None):
         """Backbone -> sweep -> depth -> lift -> neck; gaussian branch.
 
         `batch` (single scene, static shapes):
@@ -236,13 +238,27 @@ class MVSDet(nn.Module):
           (4, 4) K at target-image resolution.
         """
         mc = self.cfg
+        # under view sharding, batch["images"] holds this shard's views
+        # while camera arrays (w2c, intrinsics) stay replicated full-size
         images = batch["images"].astype(self.dtype)
-        n = images.shape[0]
         stride = mc.feature_stride
 
-        feats = self.image_features(images)                   # (N, h, w, C)
-        h, w = feats.shape[1], feats.shape[2]
-        feats32 = feats.astype(jnp.float32)
+        local_feats = self.image_features(images)             # (Nl, h, w, C)
+        h, w = local_feats.shape[1], local_feats.shape[2]
+        if view_axis is not None:
+            # view-parallel: pool all shards' feature maps over ICI
+            # (the TPU-native form of the reference's per-view loop —
+            # SURVEY §2c: neighbours may live on any shard)
+            feats32 = jax.lax.all_gather(
+                local_feats.astype(jnp.float32), view_axis, axis=0,
+                tiled=True)                                   # (N, h, w, C)
+            local_n = images.shape[0]
+            shard = jax.lax.axis_index(view_axis)
+            ref_ids = shard * local_n + jnp.arange(local_n)
+        else:
+            feats32 = local_feats.astype(jnp.float32)
+            ref_ids = None
+        n = feats32.shape[0]
 
         feat_intrinsic = scale_intrinsics(batch["intrinsic"], float(stride))
         proj44 = full_projection(batch["w2c"], feat_intrinsic)
@@ -252,15 +268,31 @@ class MVSDet(nn.Module):
         k_nb = min(mc.plane_sweep_neighbors, n - 1)
         neighbor_ids = knn_camera_neighbors(src_c2w[:, :3, 3], k_nb)
 
-        prob, off = self.depth_probabilities(feats32, proj44, neighbor_ids,
-                                             train)
+        prob_l, off_l = self.depth_probabilities(feats32, proj44,
+                                                 neighbor_ids, train,
+                                                 ref_ids=ref_ids)
+        if view_axis is not None:
+            prob = jax.lax.all_gather(prob_l, view_axis, axis=0, tiled=True)
+            off = jax.lax.all_gather(off_l, view_axis, axis=0, tiled=True)
+        else:
+            prob, off = prob_l, off_l
         est_depth, est_prob, depth_expect = self.sample_depth(prob, off)
 
         points = voxel_points(mc.n_voxels, mc.voxel_size,
                               batch["origin"]).reshape(3, -1).T  # (V, 3)
-        vol_sum, valid_cnt = lift_features_to_voxels(
-            feats32, proj34, est_depth, est_prob, points,
-            mc.voxel_size[2])
+        if view_axis is not None:
+            # each shard lifts its own views; voxel volume + view counts
+            # reduce over ICI (the reference's volume.sum(dim=0),
+            # mvsdet.py:511-513, as a psum)
+            vol_sum, valid_cnt = lift_features_to_voxels(
+                feats32[ref_ids], proj34[ref_ids], est_depth[ref_ids],
+                est_prob[ref_ids], points, mc.voxel_size[2])
+            vol_sum = jax.lax.psum(vol_sum, view_axis)
+            valid_cnt = jax.lax.psum(valid_cnt, view_axis)
+        else:
+            vol_sum, valid_cnt = lift_features_to_voxels(
+                feats32, proj34, est_depth, est_prob, points,
+                mc.voxel_size[2])
         volume = finalize_volume(vol_sum, valid_cnt)          # (V, C)
         nx, ny, nz = mc.n_voxels
         volume = volume.reshape(nx, ny, nz, -1)
@@ -271,8 +303,12 @@ class MVSDet(nn.Module):
 
         gaussians = None
         if "tgt_c2w" in batch:
+            denorm = batch["denorm_images"]
+            if view_axis is not None:
+                denorm = jax.lax.all_gather(denorm, view_axis, axis=0,
+                                            tiled=True)
             gaussians = self.gaussian_branch(
-                feats32, batch["denorm_images"], prob, depth_expect,
+                feats32, denorm, prob, depth_expect,
                 src_c2w, feat_intrinsic, batch["tgt_c2w"])
 
         return dict(levels=levels, valid_count=valid_cnt, est_depth=est_depth,
@@ -303,9 +339,10 @@ class MVSDet(nn.Module):
         ]
         return pts, valids
 
-    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
+                 view_axis: str = None):
         """Full forward: losses (train) or raw outputs."""
-        out = self.extract_feat(batch, train)
+        out = self.extract_feat(batch, train, view_axis=view_axis)
         head_outs = self.head(out["levels"])
         pts, valids = self._head_points_and_valid(out["valid_count"],
                                                   batch["origin"])
@@ -318,14 +355,18 @@ class MVSDet(nn.Module):
         return result
 
     def loss(self, batch: Dict[str, jnp.ndarray],
-             n_pos_override=None) -> Tuple[jnp.ndarray, Dict]:
-        """Training losses (`MVSDet.loss`, mvsdet.py:771-843)."""
+             axis_name=None, view_axis=None) -> Tuple[jnp.ndarray, Dict]:
+        """Training losses (`MVSDet.loss`, mvsdet.py:771-843).
+
+        ``axis_name``: mesh axis for the cross-replica positive-count
+        average (the reference's DDP `reduce_mean`); None single-device.
+        """
         mc = self.cfg
-        result = self(batch, train=True)
+        result = self(batch, train=True, view_axis=view_axis)
         losses, aux = head_loss(
             result["head_outs"], result["points"], result["valids"],
             batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
-            mc.head, n_pos_override=n_pos_override)
+            mc.head, axis_name=axis_name)
 
         if "rendered" in result and mc.rgb_supervision:
             # plain MSE (use_nerf_mask=False in the flagship config,
