@@ -1,0 +1,112 @@
+"""Indoor detection mAP/mAR (host-side numpy).
+
+Re-implementation of the reference evaluation protocol
+(mmdet3d/evaluation/functional/indoor_eval.py:8-302): per class, greedy
+confidence-ordered matching of detections to GT (axis-aligned 3D IoU),
+TP if best IoU > threshold and GT unmatched; AP by the area-under-PR
+rule with the same 0/1 padding.  Pure numpy (the reference is CPU numpy
+at this stage too, SURVEY §3.3).
+
+Boxes are (cx, cy, cz, dx, dy, dz) gravity-centred axis-aligned.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+
+def aligned_iou_numpy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(M, 6) x (N, 6) center-format axis-aligned 3D IoU."""
+    a_lo, a_hi = a[:, :3] - a[:, 3:] / 2, a[:, :3] + a[:, 3:] / 2
+    b_lo, b_hi = b[:, :3] - b[:, 3:] / 2, b[:, :3] + b[:, 3:] / 2
+    lt = np.maximum(a_lo[:, None], b_lo[None])
+    rb = np.minimum(a_hi[:, None], b_hi[None])
+    whd = np.clip(rb - lt, 0, None)
+    inter = whd.prod(-1)
+    va = np.clip(a[:, 3:], 0, None).prod(-1)
+    vb = np.clip(b[:, 3:], 0, None).prod(-1)
+    return inter / np.maximum(va[:, None] + vb[None] - inter, 1e-12)
+
+
+def _average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
+    """Area-mode AP with the reference's padding (indoor_eval.py:32-42)."""
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[0.0], precision, [0.0]])
+    for i in range(len(mpre) - 1, 0, -1):
+        mpre[i - 1] = max(mpre[i - 1], mpre[i])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def indoor_map(predictions: Sequence[Dict], ground_truths: Sequence[Dict],
+               iou_thresholds: Sequence[float] = (0.25, 0.5),
+               num_classes: int = 18) -> Dict[str, float]:
+    """Compute mAP/mAR over scenes.
+
+    Args:
+      predictions: per scene {boxes (M, 6), scores (M,), labels (M,)}.
+      ground_truths: per scene {boxes (B, 6), labels (B,)}.
+      iou_thresholds: thresholds, e.g. (0.25, 0.5).
+      num_classes: class count (classes absent from all GT are skipped,
+        matching eval_map_recall which iterates gt keys).
+
+    Returns:
+      {"mAP_0.25": ..., "mAP_0.50": ..., "mAR_...": ...,
+       "AP_<cls>_<thr>": ...}.
+    """
+    results: Dict[str, float] = {}
+    present = sorted({int(l) for g in ground_truths for l in g["labels"]})
+    aps = {t: [] for t in iou_thresholds}
+    ars = {t: [] for t in iou_thresholds}
+    for cls in present:
+        # gather per-scene class-filtered boxes
+        npos = 0
+        dets = []  # (score, scene_id, det_idx)
+        scene_gt = []
+        scene_iou = []
+        for sid, (p, g) in enumerate(zip(predictions, ground_truths)):
+            gmask = np.asarray(g["labels"]) == cls
+            gboxes = np.asarray(g["boxes"], np.float32)[gmask]
+            npos += len(gboxes)
+            pmask = np.asarray(p["labels"]) == cls
+            pboxes = np.asarray(p["boxes"], np.float32)[pmask]
+            pscores = np.asarray(p["scores"], np.float32)[pmask]
+            iou = (aligned_iou_numpy(pboxes, gboxes)
+                   if len(pboxes) and len(gboxes)
+                   else np.zeros((len(pboxes), len(gboxes)), np.float32))
+            scene_gt.append(len(gboxes))
+            scene_iou.append(iou)
+            for di, s in enumerate(pscores):
+                dets.append((float(s), sid, di))
+        if npos == 0:
+            continue
+        dets.sort(key=lambda t: -t[0])
+        for thr in iou_thresholds:
+            matched = [np.zeros(n, bool) for n in scene_gt]
+            tp = np.zeros(len(dets))
+            fp = np.zeros(len(dets))
+            for d, (_, sid, di) in enumerate(dets):
+                iou = scene_iou[sid]
+                if iou.shape[1] == 0:
+                    fp[d] = 1
+                    continue
+                j = int(np.argmax(iou[di]))
+                if iou[di, j] > thr and not matched[sid][j]:
+                    tp[d] = 1
+                    matched[sid][j] = True
+                else:
+                    fp[d] = 1
+            tp_c = np.cumsum(tp)
+            fp_c = np.cumsum(fp)
+            recall = tp_c / npos
+            precision = tp_c / np.maximum(tp_c + fp_c, 1e-12)
+            ap = _average_precision(recall, precision)
+            aps[thr].append(ap)
+            ars[thr].append(float(recall[-1]) if len(recall) else 0.0)
+            results[f"AP_{cls}_{thr:.2f}"] = ap
+    for thr in iou_thresholds:
+        results[f"mAP_{thr:.2f}"] = float(np.mean(aps[thr])) if aps[thr] else 0.0
+        results[f"mAR_{thr:.2f}"] = float(np.mean(ars[thr])) if ars[thr] else 0.0
+    return results
