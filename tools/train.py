@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Training launcher.
+
+Equivalent of the reference `tools/train.py` + `tools/dist_train.sh`
+(ref: tools/train.py:77-159): builds the config, data pipeline, model,
+and runs the epoch loop — here a functional JAX loop with a
+('data', 'view') mesh instead of mmengine Runner + DDP.
+
+Usage:
+  python tools/train.py --infos data/scannet/scannet_infos_train_new.pkl \
+      --data-root data/scannet --work-dir work_dirs/mvsdet \
+      --data-parallel 1 --view-parallel 1
+  python tools/train.py --synthetic 8   # no dataset: synthetic smoke run
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train MVSDet-TPU")
+    p.add_argument("--infos", help="path to *_infos_train_new.pkl")
+    p.add_argument("--data-root", default="", help="dataset root")
+    p.add_argument("--work-dir", default="work_dirs/mvsdet")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic scenes instead of a dataset")
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None,
+                   help="override total steps (debug)")
+    p.add_argument("--data-parallel", type=int, default=1)
+    p.add_argument("--view-parallel", type=int, default=1)
+    p.add_argument("--sweep-chunk", type=int, default=8)
+    p.add_argument("--n-views", type=int, default=None,
+                   help="override views per scene")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume", default=None, help="checkpoint to resume")
+    p.add_argument("--lr", type=float, default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mvsdet_tpu.config import scannet_config
+    from mvsdet_tpu.training.loop import (create_train_state, load_checkpoint,
+                                          save_checkpoint)
+
+    cfg = scannet_config()
+    if args.lr is not None:
+        cfg = dataclasses.replace(
+            cfg, optim=dataclasses.replace(cfg.optim, lr=args.lr))
+
+    n_views = args.n_views or cfg.data.n_views_train
+    n_targets = cfg.data.nerf_target_views_train
+    n_src = n_views - n_targets
+
+    if args.synthetic:
+        from mvsdet_tpu.data.synthetic import make_synthetic_scene
+
+        scenes = [make_synthetic_scene(cfg, seed=s, n_views=n_src,
+                                       n_targets=n_targets)
+                  for s in range(args.synthetic)]
+
+        def batch_iter():
+            i = 0
+            while True:
+                yield {k: jnp.asarray(v) for k, v in
+                       scenes[i % len(scenes)].items()}
+                i += 1
+
+        steps_per_epoch = len(scenes)
+    else:
+        from mvsdet_tpu.data.infos import load_infos
+        from mvsdet_tpu.data.pipeline import ScenePipeline, scene_iterator
+
+        infos = load_infos(args.infos, args.data_root, cfg.data.classes)
+        pipeline = ScenePipeline(cfg, training=True)
+        steps_per_epoch = len(infos) * cfg.data.repeat
+
+        def batch_iter():
+            for b in scene_iterator(infos, pipeline, seed=args.seed,
+                                    repeat=0):
+                yield {k: jnp.asarray(v) for k, v in b.items()}
+
+    epochs = args.epochs or cfg.optim.max_epochs
+    total_steps = args.steps or epochs * steps_per_epoch
+
+    it = batch_iter()
+    example = next(it)
+    model, state, tx = create_train_state(
+        cfg, jax.random.PRNGKey(args.seed), example,
+        steps_per_epoch=steps_per_epoch, sweep_chunk=args.sweep_chunk)
+    if args.resume:
+        state = load_checkpoint(args.resume, state)
+
+    os.makedirs(args.work_dir, exist_ok=True)
+
+    n_dp, n_vp = args.data_parallel, args.view_parallel
+    if n_dp * n_vp > 1:
+        from mvsdet_tpu.parallel.mesh import make_mesh
+        from mvsdet_tpu.parallel.sharding import (make_sharded_train_step,
+                                                  shard_batch)
+
+        mesh = make_mesh(data=n_dp, view=n_vp)
+
+        def stack(batches):
+            return {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
+
+        example_g = stack([example] * n_dp)
+        step_fn = make_sharded_train_step(model, tx, mesh, example_g)
+
+        def next_batch():
+            return shard_batch(stack([next(it) for _ in range(n_dp)]), mesh)
+    else:
+        from mvsdet_tpu.training.loop import make_jitted_train_step
+
+        step_fn = make_jitted_train_step(model, tx)
+
+        def next_batch():
+            return next(it)
+
+    log_path = os.path.join(args.work_dir, "train_log.jsonl")
+    t_start = time.time()
+    first_batch = example if n_dp * n_vp == 1 else None
+    for i in range(total_steps):
+        batch = (first_batch if (i == 0 and first_batch is not None)
+                 else next_batch())
+        state, metrics = step_fn(state, batch)
+        if i % 10 == 0 or i == total_steps - 1:
+            rec = {"step": i, "time": round(time.time() - t_start, 1),
+                   **{k: float(v) for k, v in metrics.items()}}
+            print(json.dumps(rec), flush=True)
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if (i + 1) % steps_per_epoch == 0:
+            save_checkpoint(os.path.join(args.work_dir, "latest"), state)
+    save_checkpoint(os.path.join(args.work_dir, "latest"), state)
+    print("done:", total_steps, "steps")
+
+
+if __name__ == "__main__":
+    main()
