@@ -138,7 +138,8 @@ def rotated_iou_bev_sampled(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
     cos1, sin1 = jnp.cos(yaw1), jnp.sin(yaw1)
     rot1 = jnp.stack([jnp.stack([cos1, -sin1], -1),
                       jnp.stack([sin1, cos1], -1)], -2)       # (M, 2, 2)
-    pts = jnp.einsum("mij,gj->mgi", rot1, unit * boxes1[:, None, 3:5][:, 0])
+    scaled = unit[None, :, :] * boxes1[:, None, 3:5]          # (M, G, 2)
+    pts = jnp.einsum("mij,mgj->mgi", rot1, scaled)
     pts = pts + boxes1[:, None, :2]                           # (M, G, 2)
 
     # membership of pts in boxes2: rotate into box2 frame
