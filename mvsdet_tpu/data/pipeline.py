@@ -102,6 +102,15 @@ def _read_depth(path: str, hw: Tuple[int, int]) -> np.ndarray:
     return _imresize(d.astype(np.float32), hw)
 
 
+def _default_loader():
+    """Prefer the native C++ decode+resize; fall back to cv2."""
+    from mvsdet_tpu.data import native_loader
+
+    if native_loader.load() is not None:
+        return native_loader.load_resize_rgb
+    return lambda path, hw: _imresize(_imread_rgb(path), hw)
+
+
 def _scale_k_xy(k: np.ndarray, sx: float, sy: float) -> np.ndarray:
     out = k.copy()
     out[..., 0, :] *= sx
@@ -148,8 +157,7 @@ class ScenePipeline:
             src = np.concatenate([src, extra])
         src = src[:n_src]
 
-        load = self.image_loader or (
-            lambda path, hw: _imresize(_imread_rgb(path), hw))
+        load = self.image_loader or _default_loader()
 
         imgs, denorms, depths = [], [], []
         for i in src:
