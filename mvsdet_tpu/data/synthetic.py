@@ -71,11 +71,14 @@ def _render_spheres(c2w, k, hw, centers, radii, colors, bg=0.72):
 
 
 def make_synthetic_scene(cfg: Config, seed: int = 0, n_views: Optional[int] = None,
-                         n_targets: Optional[int] = None) -> Dict[str, np.ndarray]:
+                         n_targets: Optional[int] = None,
+                         arkit: bool = False) -> Dict[str, np.ndarray]:
     """Build a single-scene batch dict for the MVSDet model.
 
     Returns host numpy arrays with the static shapes the model expects
-    (see `MVSDet.extract_feat` docstring).
+    (see `MVSDet.extract_feat` docstring).  With ``arkit=True``,
+    intrinsics become per-view (N, 4, 4) / per-target (T, 4, 4) and GT
+    boxes carry a yaw angle (7-dim), matching the ARKitScenes paths.
     """
     rng = np.random.RandomState(seed)
     mc = cfg.model
@@ -124,13 +127,24 @@ def make_synthetic_scene(cfg: Config, seed: int = 0, n_views: Optional[int] = No
         gt_depths.append(z)
 
     max_b = mc.head.max_boxes
-    gt_boxes = np.zeros((max_b, 6), np.float32)
+    box_dim = 7 if arkit else 6
+    gt_boxes = np.zeros((max_b, box_dim), np.float32)
     gt_labels = np.zeros((max_b,), np.int32)
     gt_mask = np.zeros((max_b,), bool)
     gt_boxes[:n_obj, :3] = centers
-    gt_boxes[:n_obj, 3:] = 2 * radii[:, None]
+    gt_boxes[:n_obj, 3:6] = 2 * radii[:, None]
+    if arkit:
+        gt_boxes[:n_obj, 6] = rng.uniform(-np.pi, np.pi, n_obj)
     gt_labels[:n_obj] = labels
     gt_mask[:n_obj] = True
+
+    if arkit:
+        # per-view intrinsics with small focal jitter (ARKit records a K
+        # per frame; mvsdet.py:421-428 / :549-553)
+        k = np.stack([k] * n_src)
+        k[:, 0, 0] *= 1.0 + 0.01 * rng.randn(n_src)
+        k[:, 1, 1] *= 1.0 + 0.01 * rng.randn(n_src)
+        kt = np.stack([kt] * n_tgt)
 
     return dict(
         images=np.stack(imgs).astype(np.float32),

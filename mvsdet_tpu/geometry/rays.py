@@ -98,6 +98,7 @@ def depth_scale_map(height: int, width: int,
     uv = jnp.stack([xs.reshape(-1), ys.reshape(-1)], axis=-1)  # (HW, 2)
     if k.ndim == 3:
         uv = jnp.broadcast_to(uv[None], (k.shape[0],) + uv.shape)
+        k = k[:, None]  # broadcast K against the pixel axis
     d = unproject(uv, jnp.ones(uv.shape[:-1], k.dtype), k)
     d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
     return d[..., 2:3]

@@ -39,10 +39,13 @@ from mvsdet_tpu.models.cost_reg import CostRegNet
 from mvsdet_tpu.models.fpn import FPN
 from mvsdet_tpu.models.gaussian_head import (Gaussians, ToGaussians,
                                              adapt_gaussians)
-from mvsdet_tpu.models.head import DetectionHead, head_loss, head_predict
+from mvsdet_tpu.models.head import (DetectionHead, head_loss,
+                                    head_loss_rotated, head_predict,
+                                    head_predict_rotated)
 from mvsdet_tpu.models.neck3d import IndoorImVoxelNeck
 from mvsdet_tpu.models.resnet import ResNet50
 from mvsdet_tpu.ops.plane_sweep import plane_sweep_variance_for_refs
+from mvsdet_tpu.ops.plane_sweep_mxu import plane_sweep_variance_mxu
 from mvsdet_tpu.ops.sampling import bilinear_resize
 from mvsdet_tpu.ops.splat import render_view
 from mvsdet_tpu.ops.voxel_lift import finalize_volume, lift_features_to_voxels
@@ -65,6 +68,9 @@ class MVSDet(nn.Module):
 
     cfg: ModelConfig
     sweep_chunk: int = 8          # views per sweep+costreg scan step
+    # 'mxu': two-pass shear-matmul warp (TPU fast path);
+    # 'gather': direct bilinear gather (the correctness oracle)
+    sweep_method: str = "mxu"
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -114,8 +120,13 @@ class MVSDet(nn.Module):
                 c for c in range(1, chunk + 1) if n % c == 0)
 
         def step(mdl, ref_ids):
-            var = plane_sweep_variance_for_refs(
-                features, proj44, ref_ids, neighbor_ids[ref_ids], depths)
+            if self.sweep_method == "mxu":
+                var = plane_sweep_variance_mxu(
+                    features, proj44, ref_ids, neighbor_ids[ref_ids],
+                    depths, compute_dtype=self.dtype)
+            else:
+                var = plane_sweep_variance_for_refs(
+                    features, proj44, ref_ids, neighbor_ids[ref_ids], depths)
             out = mdl.cost_reg(var.astype(self.dtype), train)
             prob = jax.nn.softmax(out[..., 0].astype(jnp.float32), axis=1)
             off = jax.nn.sigmoid(out[..., 1].astype(jnp.float32))
@@ -206,14 +217,22 @@ class MVSDet(nn.Module):
         opacity = jnp.max(prob, axis=1)[sel].reshape(s, h * w)
         opacity = opacity * first[:, None].astype(opacity.dtype)
 
-        # normalised context intrinsics (mvsdet.py:543-548)
-        k_norm = feat_intrinsic[:3, :3] / jnp.asarray(
-            [[w], [h], [1.0]], jnp.float32)
-        k_norm = jnp.broadcast_to(k_norm[None], (s, 3, 3))
+        # normalised context intrinsics (mvsdet.py:543-553; the 3D branch
+        # handles both the shared-K ScanNet case and the per-view-K
+        # ARKit case, mvsdet.py:549-553)
+        norm = jnp.asarray([[w], [h], [1.0]], jnp.float32)
+        if feat_intrinsic.ndim == 2:
+            k_norm = feat_intrinsic[:3, :3] / norm
+            k_norm = jnp.broadcast_to(k_norm[None], (s, 3, 3))
+            scale = depth_scale_map(h, w, feat_intrinsic[:3, :3])  # (hw, 1)
+            scale_sel = scale[None, :, 0]
+        else:
+            k_norm = feat_intrinsic[sel, :3, :3] / norm[None]
+            scale = depth_scale_map(h, w, feat_intrinsic[:, :3, :3])
+            scale_sel = scale[sel, :, 0]                      # (S, hw)
 
         # ray depth (mvsdet.py:583): z-depth / per-pixel z of unit ray
-        scale = depth_scale_map(h, w, feat_intrinsic[:3, :3])  # (hw, 1)
-        ray_depth = depth_code[..., 0] / (scale[None, :, 0] + 1e-8)
+        ray_depth = depth_code[..., 0] / (scale_sel + 1e-8)
 
         g = adapt_gaussians(src_c2w[sel], k_norm, coords, ray_depth,
                             opacity, raw_adapter, (h, w), mc.gs.adapter)
@@ -316,16 +335,21 @@ class MVSDet(nn.Module):
                     prob=prob)
 
     def render_targets(self, gaussians: Gaussians, batch, image_shape):
-        """Splat the scene gaussians into every render target view."""
-        tgt_k = batch["tgt_intrinsic"][:3, :3]
+        """Splat the scene gaussians into every render target view.
+
+        Handles a shared target K (ScanNet) or per-target Ks
+        (ARKit, mvsdet.py:645-658).
+        """
+        tgt_k = batch["tgt_intrinsic"]
         ht, wt = image_shape
-        k_norm = tgt_k / jnp.asarray([[wt], [ht], [1.0]], jnp.float32)
+        norm = jnp.asarray([[wt], [ht], [1.0]], jnp.float32)
         bg = jnp.asarray(self.cfg.gs.background_color, jnp.float32)
         imgs = []
         for t in range(batch["tgt_c2w"].shape[0]):
+            k_t = tgt_k[:3, :3] if tgt_k.ndim == 2 else tgt_k[t, :3, :3]
             imgs.append(render_view(
                 gaussians.means, gaussians.covariances, gaussians.harmonics,
-                gaussians.opacities, batch["tgt_c2w"][t], k_norm,
+                gaussians.opacities, batch["tgt_c2w"][t], k_t / norm,
                 image_shape, background=bg))
         return jnp.stack(imgs)                                # (T, Ht, Wt, 3)
 
@@ -363,7 +387,8 @@ class MVSDet(nn.Module):
         """
         mc = self.cfg
         result = self(batch, train=True, view_axis=view_axis)
-        losses, aux = head_loss(
+        loss_fn = head_loss_rotated if mc.head.with_yaw else head_loss
+        losses, aux = loss_fn(
             result["head_outs"], result["points"], result["valids"],
             batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
             mc.head, axis_name=axis_name)
@@ -395,8 +420,10 @@ class MVSDet(nn.Module):
         """Inference: NMS'd boxes + rendered target views
         (`MVSDet.predict`, mvsdet.py:917-1061)."""
         result = self(batch, train=False)
-        pred = head_predict(result["head_outs"], result["points"],
-                            result["valids"], self.cfg.head)
+        predict_fn = (head_predict_rotated if self.cfg.head.with_yaw
+                      else head_predict)
+        pred = predict_fn(result["head_outs"], result["points"],
+                          result["valids"], self.cfg.head)
         if "rendered" in result:
             pred["rendered"] = result["rendered"]
         pred["depth_expect"] = result["depth_expect"]

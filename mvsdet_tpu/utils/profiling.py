@@ -1,0 +1,74 @@
+"""Tracing / profiling utilities.
+
+The reference has only mmengine's IterTimerHook (SURVEY §5); this adds
+what a production TPU deployment needs: `jax.profiler` trace capture
+around training steps and a lightweight step timer with percentile
+summaries.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Capture a jax.profiler trace (view with TensorBoard/XProf)."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Wall-clock step timing with warmup skip and percentile summary."""
+
+    def __init__(self, warmup: int = 2):
+        self.warmup = warmup
+        self._times: List[float] = []
+        self._count = 0
+        self._t0: Optional[float] = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        dt = time.perf_counter() - self._t0
+        self._count += 1
+        if self._count > self.warmup:
+            self._times.append(dt)
+
+    def summary(self) -> Dict[str, float]:
+        if not self._times:
+            return {}
+        t = np.asarray(self._times)
+        return {
+            "mean_s": float(t.mean()),
+            "p50_s": float(np.percentile(t, 50)),
+            "p90_s": float(np.percentile(t, 90)),
+            "min_s": float(t.min()),
+            "steps": len(self._times),
+        }
+
+
+def device_memory_stats() -> Dict[str, float]:
+    """Per-device memory stats (bytes) where the backend exposes them."""
+    out = {}
+    for d in jax.local_devices():
+        try:
+            stats = d.memory_stats()
+        except Exception:
+            continue
+        if stats:
+            out[str(d)] = {
+                "bytes_in_use": stats.get("bytes_in_use", 0),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
+            }
+    return out

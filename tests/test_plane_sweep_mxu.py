@@ -1,0 +1,112 @@
+"""Validation of the MXU two-pass plane-sweep warp against the gather path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mvsdet_tpu.geometry.voxels import depth_plane_values
+from mvsdet_tpu.ops import plane_sweep, plane_sweep_mxu
+
+
+def smooth_features(rng, n, h, w, c):
+    """Band-limited feature maps (two-pass vs direct bilinear agree up to
+    O(shear x gradient); white noise would inflate the difference)."""
+    base = rng.rand(n, h // 4 + 2, w // 4 + 2, c).astype(np.float32)
+    import jax
+
+    return np.asarray(jax.image.resize(jnp.asarray(base), (n, h, w, c),
+                                       method="cubic"))
+
+
+def ring_cameras(rng, n, h, w):
+    from tests.test_ops import random_camera
+
+    w2c = random_camera(rng, n)
+    k = np.eye(4, dtype=np.float32)
+    k[0, 0] = k[1, 1] = 0.9 * w
+    k[0, 2], k[1, 2] = w / 2, h / 2
+    return np.einsum("ij,njk->nik", k, w2c)
+
+
+class TestIdentityWarp:
+    def test_identity_homography_reproduces_input(self):
+        rng = np.random.RandomState(0)
+        feat = jnp.asarray(rng.rand(12, 16, 8), jnp.float32)
+        homos = jnp.broadcast_to(jnp.eye(3), (3, 3, 3))
+        out = np.asarray(plane_sweep_mxu.homography_warp_mxu(feat, homos))
+        for d in range(3):
+            np.testing.assert_allclose(out[d], np.asarray(feat), atol=1e-5)
+
+    def test_pure_translation(self):
+        rng = np.random.RandomState(1)
+        feat = jnp.asarray(rng.rand(12, 16, 4), jnp.float32)
+        m = jnp.eye(3).at[0, 2].set(3.0).at[1, 2].set(2.0)
+        out = np.asarray(
+            plane_sweep_mxu.homography_warp_mxu(feat, m[None]))[0]
+        # out(x', y') = f(x'+3, y'+2)
+        np.testing.assert_allclose(out[:10, :13], np.asarray(feat)[2:, 3:],
+                                   atol=1e-5)
+        # shifted-out region is zero-padded
+        np.testing.assert_allclose(out[10:], 0.0, atol=1e-6)
+
+    def test_scale_homography_matches_gather(self):
+        rng = np.random.RandomState(2)
+        feat = jnp.asarray(smooth_features(rng, 1, 24, 32, 4)[0])
+        m = jnp.asarray([[0.8, 0.05, 2.0], [0.02, 0.9, 1.0],
+                         [0.0005, 0.0002, 1.0]], jnp.float32)
+        got = np.asarray(
+            plane_sweep_mxu.homography_warp_mxu(feat, m[None]))[0]
+        # reference: direct bilinear through the same homography
+        rel = jnp.eye(4).at[:3, :3].set(m * 0 + jnp.asarray(m))
+        # build coords manually
+        ys, xs = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+        homo = np.stack([xs, ys, np.ones_like(xs)], -1).astype(np.float32)
+        p = homo @ np.asarray(m).T
+        coords = p[..., :2] / p[..., 2:3]
+        from mvsdet_tpu.ops.sampling import bilinear_sample
+
+        want = np.asarray(bilinear_sample(feat, jnp.asarray(coords)))
+        err = np.abs(got - want)
+        assert err.mean() < 0.01, err.mean()
+        assert err.max() < 0.12, err.max()
+
+
+class TestSweepEquivalence:
+    def test_variance_close_to_gather_path(self):
+        rng = np.random.RandomState(3)
+        n, h, w, c, d = 5, 24, 32, 8, 4
+        feats = jnp.asarray(smooth_features(rng, n, h, w, c))
+        proj = jnp.asarray(ring_cameras(rng, n, h, w))
+        nb = jnp.asarray(np.stack([(np.arange(n) + 1) % n,
+                                   (np.arange(n) - 1) % n], -1))
+        depths = depth_plane_values(0.8, 4.0, d)
+        ref_ids = jnp.arange(n)
+
+        want = np.asarray(plane_sweep.plane_sweep_variance_for_refs(
+            feats, proj, ref_ids, nb, depths))
+        got = np.asarray(plane_sweep_mxu.plane_sweep_variance_mxu(
+            feats, proj, ref_ids, nb, depths))
+        assert got.shape == want.shape
+        # variance fields agree closely on smooth features
+        denom = np.abs(want).mean() + 1e-6
+        rel_err = np.abs(got - want).mean() / denom
+        assert rel_err < 0.15, rel_err
+        # and correlate almost perfectly
+        corr = np.corrcoef(got.ravel(), want.ravel())[0, 1]
+        assert corr > 0.98, corr
+
+    def test_zero_for_behind_camera_planes(self):
+        """A neighbour looking away: all samples out of range -> ref-only
+        variance (matching the gather path's zero-sample behaviour)."""
+        rng = np.random.RandomState(4)
+        feat = jnp.asarray(rng.rand(8, 10, 2), jnp.float32)
+        # homography with negative depth scale: z flips sign
+        m = (-1.0 * jnp.eye(3)).at[2, 2].set(-1.0)
+        out = np.asarray(
+            plane_sweep_mxu.homography_warp_mxu(feat, m[None]))[0]
+        # -x/-1 = x --> identity! use a truly OOB map instead
+        m2 = jnp.eye(3).at[0, 2].set(1e5)
+        out2 = np.asarray(
+            plane_sweep_mxu.homography_warp_mxu(feat, m2[None]))[0]
+        np.testing.assert_allclose(out2, 0.0, atol=1e-6)
