@@ -64,7 +64,7 @@ def build_inputs(rng):
 def main():
     from mvsdet_tpu.geometry.voxels import depth_plane_values
     from mvsdet_tpu.models.cost_reg import CostRegNet
-    from mvsdet_tpu.ops.plane_sweep import plane_sweep_variance_for_refs
+    from mvsdet_tpu.ops.plane_sweep_mxu import plane_sweep_variance_mxu
 
     rng = np.random.default_rng(0)
     feats, proj44, neighbor_ids = build_inputs(rng)
@@ -80,9 +80,11 @@ def main():
         outs = []
         for start in range(0, N_VIEWS, SWEEP_CHUNK):
             ref_ids = jnp.arange(start, start + SWEEP_CHUNK)
-            var = plane_sweep_variance_for_refs(
-                feats.astype(jnp.float32), proj44, ref_ids,
-                neighbor_ids[ref_ids], depths)
+            # MXU two-pass shear-matmul warp — the model's fast path
+            # (MVSDet.sweep_method == 'mxu')
+            var = plane_sweep_variance_mxu(
+                feats, proj44, ref_ids,
+                neighbor_ids[ref_ids], depths, compute_dtype=jnp.bfloat16)
             out = net.apply(variables, var.astype(jnp.bfloat16))
             prob = jax.nn.softmax(out[..., 0].astype(jnp.float32), axis=1)
             off = jax.nn.sigmoid(out[..., 1].astype(jnp.float32))

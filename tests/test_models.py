@@ -52,10 +52,18 @@ class TestCostReg:
         net = CostRegNet(in_channels=8, base=4)
         x = jnp.zeros((2, 4, 8, 12, 8))
         variables = net.init(jax.random.PRNGKey(0), x)
+        # default norm is GroupNorm (scan-safe): no mutable batch stats
         out, mutated = net.apply(variables, x, train=True,
                                  mutable=["batch_stats"])
         assert out.shape == (2, 4, 8, 12, 2)
-        assert "batch_stats" in mutated
+        assert mutated == {}
+        # the reference-style BN variant does carry batch stats
+        net_bn = CostRegNet(in_channels=8, base=4, norm="batch")
+        variables_bn = net_bn.init(jax.random.PRNGKey(0), x)
+        out_bn, mutated_bn = net_bn.apply(variables_bn, x, train=True,
+                                          mutable=["batch_stats"])
+        assert out_bn.shape == (2, 4, 8, 12, 2)
+        assert "batch_stats" in mutated_bn
         out_eval = net.apply(variables, x, train=False)
         assert out_eval.shape == (2, 4, 8, 12, 2)
 
