@@ -43,8 +43,11 @@ class Bottleneck(nn.Module):
                     name="conv1")(x)
         y = FrozenBatchNorm(self.width, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
+        # explicit pad 1 (not SAME): torchvision pads symmetrically, and
+        # SAME with stride 2 on even inputs pads (0, 1) — a half-pixel
+        # shift that would break ported-weight parity
         y = nn.Conv(self.width, (3, 3), strides=(self.stride, self.stride),
-                    padding="SAME", use_bias=False, dtype=self.dtype,
+                    padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
                     name="conv2")(y)
         y = FrozenBatchNorm(self.width, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
@@ -85,6 +88,25 @@ class ResNet50(nn.Module):
             outs.append(x)
             width *= 2
         return tuple(outs)
+
+
+def load_torchvision_checkpoint(path: str):
+    """Read a torchvision-format checkpoint file into a flat name->array dict.
+
+    Accepts a torch-saved ``.pth``/``.pt`` (optionally wrapped in a
+    ``state_dict`` key, as mm checkpoints are) or a numpy ``.npz`` with
+    torchvision parameter names.  This is the file the reference
+    downloads as ``torchvision://resnet50``
+    (ref: projects/NeRF-Det/configs/mvsdet_res50_2x_low_res_depth.py:25).
+    """
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return {k: v for k, v in obj.items()}
 
 
 def port_torchvision_state_dict(state_dict, depth: int = 50):

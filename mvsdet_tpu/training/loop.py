@@ -57,6 +57,41 @@ def create_train_state(cfg: Config, rng, example_batch,
     return model, state, tx
 
 
+def load_pretrained_backbone(state: TrainState, path: str) -> TrainState:
+    """Swap ImageNet-pretrained ResNet weights into a fresh train state.
+
+    The reference initialises its backbone from ``torchvision://resnet50``
+    (ref: projects/NeRF-Det/configs/mvsdet_res50_2x_low_res_depth.py:25);
+    here the equivalent is an explicit checkpoint file (``.pth`` /
+    ``.npz`` with torchvision names) ported into the ``backbone``
+    subtree of params + frozen BN constants.  Optimizer state is
+    untouched: shapes are identical and AdamW moments start at zero
+    either way.
+
+    Raises ValueError if the ported tree does not match the initialised
+    backbone structure/shapes exactly.
+    """
+    from mvsdet_tpu.models.resnet import (load_torchvision_checkpoint,
+                                          port_torchvision_state_dict)
+
+    ported = port_torchvision_state_dict(load_torchvision_checkpoint(path))
+
+    def check(name, ours, theirs):
+        s_ours = jax.tree_util.tree_map(jnp.shape, ours)
+        s_new = jax.tree_util.tree_map(jnp.shape, theirs)
+        if s_ours != s_new:
+            raise ValueError(
+                f"pretrained backbone {name} tree mismatch:\n"
+                f"  model: {s_ours}\n  ckpt:  {s_new}")
+
+    check("params", state.params["backbone"], ported["params"])
+    check("frozen", state.frozen["backbone"], ported["frozen"])
+    return dataclasses.replace(
+        state,
+        params={**state.params, "backbone": ported["params"]},
+        frozen={**state.frozen, "backbone": ported["frozen"]})
+
+
 def train_step(model: MVSDet, tx, state: TrainState,
                batch: Dict[str, jnp.ndarray],
                axis_name: Optional[str] = None):

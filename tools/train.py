@@ -40,6 +40,10 @@ def parse_args():
                    help="override views per scene")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--resume", default=None, help="checkpoint to resume")
+    p.add_argument("--pretrained", default=None,
+                   help="torchvision resnet50 checkpoint (.pth/.npz) for "
+                        "backbone init (ref torchvision://resnet50, "
+                        "mvsdet_res50_2x_low_res_depth.py:25)")
     p.add_argument("--lr", type=float, default=None)
     return p.parse_args()
 
@@ -52,6 +56,7 @@ def main():
 
     from mvsdet_tpu.config import scannet_config
     from mvsdet_tpu.training.loop import (create_train_state, load_checkpoint,
+                                          load_pretrained_backbone,
                                           save_checkpoint)
 
     cfg = scannet_config()
@@ -99,6 +104,9 @@ def main():
     model, state, tx = create_train_state(
         cfg, jax.random.PRNGKey(args.seed), example,
         steps_per_epoch=steps_per_epoch, sweep_chunk=args.sweep_chunk)
+    if args.pretrained:
+        state = load_pretrained_backbone(state, args.pretrained)
+        print(f"loaded pretrained backbone from {args.pretrained}")
     if args.resume:
         state = load_checkpoint(args.resume, state)
 
