@@ -51,6 +51,13 @@ class GaussianSplatConfig:
     background_color: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     # top-k nearest source views per render target (mvsdet.py:532)
     render_src_per_target: int = 3
+    # splatting implementation: "tiled" = Pallas tile rasterizer
+    # (ops/splat_tiles.py, the fast path); "oracle" = exact O(pixels*G)
+    # XLA compositor (ops/splat.py)
+    splat_impl: str = "tiled"
+    # max gaussians composited per 16x16 tile on the tiled path; tiles
+    # overlapping more than this drop the farthest splats
+    splat_capacity: int = 1024
 
 
 @dataclasses.dataclass(frozen=True)

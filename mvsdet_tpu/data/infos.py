@@ -37,6 +37,10 @@ class SceneInfo:
     c2w: np.ndarray                # (N, 4, 4) camera->world
     gt_boxes: np.ndarray           # (B, 6|7) gravity-centred boxes
     gt_labels: np.ndarray          # (B,)
+    # original capture resolution the intrinsics are calibrated for —
+    # explicit per dataset (ScanNet posed RGB: 968x1296,
+    # scannet_multiview_dataset.py resize source; ARKit: 192x256)
+    original_hw: tuple = (968, 1296)
 
     @property
     def num_views(self) -> int:
@@ -44,7 +48,8 @@ class SceneInfo:
 
 
 def load_infos(pkl_path: str, data_root: str = "",
-               classes: Optional[Sequence[str]] = None) -> List[SceneInfo]:
+               classes: Optional[Sequence[str]] = None,
+               original_hw: tuple = (968, 1296)) -> List[SceneInfo]:
     """Load and convert all scene records.
 
     Args:
@@ -52,6 +57,8 @@ def load_infos(pkl_path: str, data_root: str = "",
       data_root: prefix joined onto image paths.
       classes: optional class filter; labels outside are dropped
         (the reference's ``_remove_dontcare``).
+      original_hw: calibrated capture resolution for intrinsic rescale
+        (overridden per record by an ``original_hw`` key when present).
 
     Returns:
       list of `SceneInfo`.
@@ -91,5 +98,6 @@ def load_infos(pkl_path: str, data_root: str = "",
         scenes.append(SceneInfo(
             img_paths=img_paths, depth_paths=depth_paths,
             intrinsic=intrinsic, w2c=w2c, c2w=c2w,
-            gt_boxes=gt_boxes, gt_labels=gt_labels))
+            gt_boxes=gt_boxes, gt_labels=gt_labels,
+            original_hw=tuple(rec.get("original_hw", original_hw))))
     return scenes

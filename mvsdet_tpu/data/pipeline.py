@@ -50,9 +50,15 @@ def sample_views_random(rng: np.random.RandomState, n_total: int,
 def sample_views_gap(rng: np.random.RandomState, n_total: int,
                      n_images: int, n_targets: int):
     """'gap' sampling (multiview_pipeline.py:443-463): two held-out
-    target runs inside the trajectory, surrounded by source views."""
+    target runs inside the trajectory, surrounded by source views.
+
+    Scenes too short to host the two target runs (the reference would
+    crash on them) fall back to 'random' sampling.
+    """
     ids = np.arange(n_total)
     half_t = n_targets // 2
+    if n_total // 2 - half_t - 1 < 1 or n_total - half_t - 1 <= n_total // 2:
+        return sample_views_random(rng, n_total, n_images, n_targets)
     src_1 = rng.randint(0, n_total // 2 - half_t - 1)
     src_3 = rng.randint(n_total // 2, n_total - half_t - 1)
     src_used = [src_1, src_1 + half_t + 1, src_3, src_3 + half_t + 1]
@@ -172,11 +178,10 @@ class ScenePipeline:
             rgb = load(scene.img_paths[i], (ht, wt)).astype(np.float32)
             gt_imgs.append(rgb / 255.0)
 
-        # anisotropic intrinsic scaling to the resized resolutions;
-        # original image size from the calibrated principal point
-        # (cx ~ W/2, cy ~ H/2) is not reliable, so callers should store
-        # per-dataset original sizes; ScanNet posed RGB is 968x1296.
-        ori_h, ori_w = self.original_hw(scene)
+        # anisotropic intrinsic scaling to the resized resolutions, from
+        # the explicit per-dataset capture resolution on SceneInfo
+        # (ScanNet posed RGB 968x1296, ARKit 192x256)
+        ori_h, ori_w = scene.original_hw
         k_img = _scale_k_xy(scene.intrinsic, w / ori_w, h / ori_h)
         k_tgt = _scale_k_xy(scene.intrinsic, wt / ori_w, ht / ori_h)
 
@@ -212,14 +217,6 @@ class ScenePipeline:
         if self.load_depth:
             batch["depth"] = np.stack(depths)
         return batch
-
-    @staticmethod
-    def original_hw(scene: SceneInfo) -> Tuple[int, int]:
-        """Original capture resolution inferred from the principal point
-        (cx ~ W/2, cy ~ H/2); ScanNet posed RGB is 968x1296."""
-        k = scene.intrinsic
-        k0 = k if k.ndim == 2 else k[0]
-        return int(round(k0[1, 2] * 2)), int(round(k0[0, 2] * 2))
 
 
 def scene_iterator(scenes: Sequence[SceneInfo], pipeline: ScenePipeline,

@@ -48,6 +48,7 @@ from mvsdet_tpu.ops.plane_sweep import plane_sweep_variance_for_refs
 from mvsdet_tpu.ops.plane_sweep_mxu import plane_sweep_variance_mxu
 from mvsdet_tpu.ops.sampling import bilinear_resize
 from mvsdet_tpu.ops.splat import render_view
+from mvsdet_tpu.ops.splat_tiles import render_view_tiled
 from mvsdet_tpu.ops.voxel_lift import finalize_volume, lift_features_to_voxels
 
 Dtype = Any
@@ -344,13 +345,23 @@ class MVSDet(nn.Module):
         ht, wt = image_shape
         norm = jnp.asarray([[wt], [ht], [1.0]], jnp.float32)
         bg = jnp.asarray(self.cfg.gs.background_color, jnp.float32)
+        if self.cfg.gs.splat_impl == "tiled":
+            def render(c2w, k):
+                return render_view_tiled(
+                    gaussians.means, gaussians.covariances,
+                    gaussians.harmonics, gaussians.opacities, c2w, k,
+                    image_shape, background=bg,
+                    capacity=self.cfg.gs.splat_capacity)
+        else:
+            def render(c2w, k):
+                return render_view(
+                    gaussians.means, gaussians.covariances,
+                    gaussians.harmonics, gaussians.opacities, c2w, k,
+                    image_shape, background=bg)
         imgs = []
         for t in range(batch["tgt_c2w"].shape[0]):
             k_t = tgt_k[:3, :3] if tgt_k.ndim == 2 else tgt_k[t, :3, :3]
-            imgs.append(render_view(
-                gaussians.means, gaussians.covariances, gaussians.harmonics,
-                gaussians.opacities, batch["tgt_c2w"][t], k_t / norm,
-                image_shape, background=bg))
+            imgs.append(render(batch["tgt_c2w"][t], k_t / norm))
         return jnp.stack(imgs)                                # (T, Ht, Wt, 3)
 
     def _head_points_and_valid(self, valid_count, origin):

@@ -11,8 +11,9 @@ mvs_models/module.py:105-146):
   * layout is channels-last (N, D, H, W, C) so the trailing C=256 axis
     maps onto TPU lanes.
 
-The XLA path here is the correctness reference; `mvsdet_tpu.ops.pallas`
-holds the fused VMEM-resident kernel used on real TPU hardware.
+The XLA gather path here is the correctness reference; the fast path on
+real TPU hardware is `mvsdet_tpu.ops.plane_sweep_mxu`, which rewrites
+the homography warp as two shear matmuls so it rides the MXU.
 """
 
 from __future__ import annotations

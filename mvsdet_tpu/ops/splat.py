@@ -13,8 +13,9 @@ gaussians are globally depth-sorted once per view and composited with an
 exclusive log-space cumulative transmittance along the sorted axis; the
 pixel axis is processed in chunks via `lax.map` so peak memory is
 (chunk x G).  Exact (no tile approximation), fully differentiable by
-autodiff, and vectorisable.  The Pallas tile-culled kernel
-(`mvsdet_tpu.ops.pallas`) is the fast path; this is the oracle.
+autodiff, and vectorisable.  The Pallas tile rasterizer
+(`mvsdet_tpu.ops.splat_tiles` + `ops.pallas.splat_kernel`) is the fast
+path; this is the oracle it is validated against.
 
 Scale-invariant pre-scaling (cuda_splatting.py:67-74) is a CUDA numerical
 work-around and is mathematically a no-op, so it is intentionally
@@ -54,6 +55,9 @@ def project_gaussians(means: jnp.ndarray, covariances: jnp.ndarray,
       conic: (G, 3) inverse-covariance upper triangle (a, b, c).
       z: (G,) view-space depth.
       valid: (G,) bool in-front mask.
+      cov_tri: (G, 3) 2D covariance upper triangle (a, b, c) — used by
+        the tiled rasterizer for splat radii (cuda_splatting.py's
+        eigenvalue radius).
     """
     h, w = image_shape
     w2c = jnp.linalg.inv(c2w)
@@ -92,7 +96,8 @@ def project_gaussians(means: jnp.ndarray, covariances: jnp.ndarray,
     det_safe = jnp.where(det > 1e-12, det, 1.0)
     conic = jnp.stack([c / det_safe, -b / det_safe, a / det_safe], axis=-1)
     valid = valid & (det > 1e-12)
-    return mean2d, conic, z, valid
+    cov_tri = jnp.stack([a, b, c], axis=-1)
+    return mean2d, conic, z, valid, cov_tri
 
 
 def render_view(means: jnp.ndarray, covariances: jnp.ndarray,
@@ -121,7 +126,7 @@ def render_view(means: jnp.ndarray, covariances: jnp.ndarray,
       (H, W, C) composited image (C=3 or value dimension).
     """
     h, w = image_shape
-    mean2d, conic, z, valid = project_gaussians(
+    mean2d, conic, z, valid, _ = project_gaussians(
         means, covariances, c2w, intrinsics_norm, image_shape, near_clip)
 
     if value_override is None:

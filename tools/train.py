@@ -55,9 +55,15 @@ def main():
     import numpy as np
 
     from mvsdet_tpu.config import scannet_config
+    from mvsdet_tpu.parallel import multihost
     from mvsdet_tpu.training.loop import (create_train_state, load_checkpoint,
                                           load_pretrained_backbone,
                                           save_checkpoint)
+
+    # multi-host: no-op single host; with MVSDET_COORDINATOR /
+    # MVSDET_NUM_PROCESSES / MVSDET_PROCESS_ID set, joins the job
+    # (the reference's dist_train.sh NNODES/MASTER_ADDR path)
+    multihost.initialize()
 
     cfg = scannet_config()
     if args.lr is not None:
@@ -115,19 +121,36 @@ def main():
     n_dp, n_vp = args.data_parallel, args.view_parallel
     if n_dp * n_vp > 1:
         from mvsdet_tpu.parallel.mesh import make_mesh
-        from mvsdet_tpu.parallel.sharding import (make_sharded_train_step,
+        from mvsdet_tpu.parallel.sharding import (batch_pspecs,
+                                                  make_sharded_train_step,
                                                   shard_batch)
 
-        mesh = make_mesh(data=n_dp, view=n_vp)
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            # data axis spans hosts: each host feeds its own scenes
+            assert n_dp % n_proc == 0, (n_dp, n_proc)
+            mesh = multihost.make_global_mesh(data=n_dp, view=n_vp)
+            n_local = n_dp // n_proc
+        else:
+            mesh = make_mesh(data=n_dp, view=n_vp)
+            n_local = n_dp
 
         def stack(batches):
             return {k: jnp.stack([b[k] for b in batches]) for k in batches[0]}
 
         example_g = stack([example] * n_dp)
         step_fn = make_sharded_train_step(model, tx, mesh, example_g)
+        specs = batch_pspecs(example_g)
 
         def next_batch():
-            return shard_batch(stack([next(it) for _ in range(n_dp)]), mesh)
+            local = stack([next(it) for _ in range(n_local)])
+            if n_proc > 1:
+                import numpy as np
+
+                return multihost.host_local_batch_to_global(
+                    {k: np.asarray(v) for k, v in local.items()}, mesh,
+                    specs)
+            return shard_batch(local, mesh)
     else:
         from mvsdet_tpu.training.loop import make_jitted_train_step
 
