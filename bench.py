@@ -1,116 +1,170 @@
-"""Benchmark harness: plane-sweep depth-estimation throughput per chip.
+"""Benchmark harness: full MVSDet train-step throughput per chip.
 
-The reference repo ships no benchmark at all (SURVEY §6); its headline
-hot path is the per-view plane sweep + cost-volume regularisation
-(mvsdet.py:438-475) executed for N=40 (train) / 80 (test) views per
-ScanNet scene on an A5000.  This harness times OUR fused sweep+costreg
-subsystem at exactly the reference workload shape:
+The reference repo ships no benchmark at all (SURVEY §6); its training
+workload is one ScanNet scene per GPU per step: 40 source views at
+240x320 through ResNet-50+FPN, a 12-plane sweep + CostRegNet per view,
+depth-weighted lifting into a 40x40x16 voxel grid, 3D neck + head, and
+a gaussian-splat NVS branch rendering 2 targets at 120x160
+(ref: configs/mvsdet_res50_2x_low_res.py:81-126, nerfdet/mvsdet.py:771-843).
 
-  features (256, 60, 80) fp/bf16, D=12 planes, k=2 neighbours,
-  CostRegNet 3D U-Net, softmax depth prob + sigmoid offsets.
-
-Metric: source views processed per second per chip (views/s/chip).
+This harness times OUR full jitted train step (forward + backward +
+AdamW update) at exactly that workload shape on one chip, in bfloat16
+compute / fp32 params, and reports scenes/s/chip, with a phase
+breakdown (backbone / sweep+costreg / lift / render / backward) from
+separately-jitted forward pieces.
 
 Baseline: the reference publishes no throughput, so ``vs_baseline``
-compares against an A5000 roofline estimate for the same computation,
-documented inline: the CostRegNet dominates at ~95 GFLOP/view (conv
-arithmetic below); an A5000 sustains ~25 TFLOP/s fp32-TF32 on 3D convs
-at ~50% efficiency -> ~130 views/s.  vs_baseline = measured / 130.
+compares against an A5000 roofline ESTIMATE for the same computation,
+not a measurement: forward ~4.2 TFLOP/scene (40 x [95 GFLOP costreg +
+~6.5 GFLOP resnet50@240x320 + sweep]), train step ~3x forward
+~12.6 TFLOP; an A5000 sustains ~12.5 TFLOP/s effective on this conv mix
+=> ~1.0 scenes/s.  vs_baseline = measured / 1.0.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"phases_ms", ...}.
 """
 
 import json
+import sys
 import time
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
+A5000_BASELINE_SCENES_PER_S = 1.0
 
-# A5000 roofline estimate for the same sweep+costreg math (see module
-# docstring): ~95 GFLOP/view CostRegNet + warp at ~12.5 TFLOP/s
-# effective => ~130 views/s.
-A5000_BASELINE_VIEWS_PER_S = 130.0
-
-N_VIEWS = 40
-HEIGHT, WIDTH, CHANNELS = 60, 80, 256
-N_PLANES = 12
-N_NEIGHBORS = 2
-SWEEP_CHUNK = 8
 WARMUP = 2
 ITERS = 5
+SWEEP_CHUNK = 8
 
 
-def build_inputs(rng):
-    from mvsdet_tpu.data.synthetic import make_synthetic_scene
-    from mvsdet_tpu.config import scannet_config
-    from mvsdet_tpu.geometry.cameras import full_projection, scale_intrinsics
-    from mvsdet_tpu.geometry.cameras import knn_camera_neighbors
+def trace(msg):
+    print("[bench]", msg, file=sys.stderr, flush=True)
 
-    cfg = scannet_config()
-    scene = make_synthetic_scene(cfg, seed=0, n_views=N_VIEWS, n_targets=1)
-    feats = jnp.asarray(
-        rng.standard_normal((N_VIEWS, HEIGHT, WIDTH, CHANNELS)),
-        jnp.bfloat16)
-    w2c = jnp.asarray(scene["w2c"])
-    feat_k = scale_intrinsics(jnp.asarray(scene["intrinsic"]), 4.0)
-    proj44 = full_projection(w2c, feat_k)
-    c2w = jnp.linalg.inv(w2c)
-    neighbor_ids = knn_camera_neighbors(c2w[:, :3, 3], N_NEIGHBORS)
-    return feats, proj44, neighbor_ids
+
+def timed(fn, *args, iters=ITERS, warmup=WARMUP):
+    import jax
+
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times)
 
 
 def main():
-    from mvsdet_tpu.geometry.voxels import depth_plane_values
-    from mvsdet_tpu.models.cost_reg import CostRegNet
-    from mvsdet_tpu.ops.plane_sweep_mxu import plane_sweep_variance_mxu
+    import jax
+    import jax.numpy as jnp
 
-    rng = np.random.default_rng(0)
-    feats, proj44, neighbor_ids = build_inputs(rng)
-    depths = depth_plane_values(0.2, 5.0, N_PLANES)
+    from mvsdet_tpu.config import scannet_config
+    from mvsdet_tpu.data.synthetic import make_synthetic_scene
+    from mvsdet_tpu.geometry.cameras import (full_projection,
+                                             knn_camera_neighbors,
+                                             scale_intrinsics)
+    from mvsdet_tpu.geometry.voxels import voxel_points
+    from mvsdet_tpu.models.mvsdet import MVSDet
+    from mvsdet_tpu.ops.voxel_lift import (finalize_volume,
+                                           lift_features_to_voxels)
+    from mvsdet_tpu.training.loop import (create_train_state,
+                                          make_jitted_train_step)
 
-    net = CostRegNet(in_channels=CHANNELS, dtype=jnp.bfloat16)
-    variables = net.init(
-        jax.random.PRNGKey(0),
-        jnp.zeros((1, N_PLANES, HEIGHT, WIDTH, CHANNELS), jnp.bfloat16))
+    cfg = scannet_config()
+    n_src = cfg.data.n_src_train                       # 40
+    n_tgt = cfg.data.nerf_target_views_train           # 2
 
-    @jax.jit
-    def sweep_and_regularize(feats, proj44, neighbor_ids):
-        outs = []
-        for start in range(0, N_VIEWS, SWEEP_CHUNK):
-            ref_ids = jnp.arange(start, start + SWEEP_CHUNK)
-            # MXU two-pass shear-matmul warp — the model's fast path
-            # (MVSDet.sweep_method == 'mxu')
-            var = plane_sweep_variance_mxu(
-                feats, proj44, ref_ids,
-                neighbor_ids[ref_ids], depths, compute_dtype=jnp.bfloat16)
-            out = net.apply(variables, var.astype(jnp.bfloat16))
-            prob = jax.nn.softmax(out[..., 0].astype(jnp.float32), axis=1)
-            off = jax.nn.sigmoid(out[..., 1].astype(jnp.float32))
-            outs.append((prob, off))
-        prob = jnp.concatenate([o[0] for o in outs])
-        off = jnp.concatenate([o[1] for o in outs])
-        return prob, off
+    scene = make_synthetic_scene(cfg, seed=0, n_views=n_src,
+                                 n_targets=n_tgt)
+    batch = {k: jnp.asarray(v) for k, v in scene.items()}
 
-    for _ in range(WARMUP):
-        prob, off = sweep_and_regularize(feats, proj44, neighbor_ids)
-        jax.block_until_ready(prob)
+    model, state, tx = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, sweep_chunk=SWEEP_CHUNK,
+        dtype=jnp.bfloat16)
+    variables = {"params": state.params, "batch_stats": state.batch_stats,
+                 "frozen": state.frozen}
 
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        prob, off = sweep_and_regularize(feats, proj44, neighbor_ids)
-        jax.block_until_ready(prob)
-        times.append(time.perf_counter() - t0)
+    trace("state created")
+    # ---- full train step (the headline) ------------------------------
+    step_fn = make_jitted_train_step(model, tx)
+    state, _ = step_fn(state, batch)                   # compile
+    trace("train step compiled")
+    t_step = timed(lambda: step_fn(state, batch)[1]["loss"])
+    trace("train step timed: %.3fs" % t_step)
 
-    best = min(times)
-    views_per_s = N_VIEWS / best
+    # ---- phase breakdown (separately-jitted forward pieces) ----------
+    fwd = jax.jit(lambda b: model.apply(
+        variables, b, method=MVSDet.loss,
+        mutable=["batch_stats"])[0][0])
+    t_fwd = timed(fwd, batch)
+    trace("fwd timed: %.3fs" % t_fwd)
+
+    backbone = jax.jit(lambda imgs: model.apply(
+        variables, imgs, method=MVSDet.image_features))
+    images = batch["images"].astype(jnp.bfloat16)
+    feats = backbone(images)
+    t_backbone = timed(backbone, images)
+    trace("backbone timed")
+
+    feats32 = feats.astype(jnp.float32)
+    feat_k = scale_intrinsics(batch["intrinsic"],
+                              float(cfg.model.feature_stride))
+    proj44 = full_projection(batch["w2c"], feat_k)
+    c2w = jnp.linalg.inv(batch["w2c"])
+    neighbor_ids = knn_camera_neighbors(c2w[:, :3, 3],
+                                        cfg.model.plane_sweep_neighbors)
+
+    sweep = jax.jit(lambda f: model.apply(
+        variables, f, proj44, neighbor_ids, False,
+        method=MVSDet.depth_probabilities))
+    prob, off = sweep(feats32)
+    t_sweep = timed(sweep, feats32)
+    trace("sweep timed")
+
+    sample = jax.jit(lambda p, o: model.apply(
+        variables, p, o, method=MVSDet.sample_depth))
+    est_depth, est_prob, depth_expect = sample(prob, off)
+    points = voxel_points(cfg.model.n_voxels, cfg.model.voxel_size,
+                          batch["origin"]).reshape(3, -1).T
+
+    lift = jax.jit(lambda f, d, p: finalize_volume(*lift_features_to_voxels(
+        f, proj44[:, :3, :4], d, p, points, cfg.model.voxel_size[2])))
+    t_lift = timed(lift, feats32, est_depth, est_prob)
+    trace("lift timed")
+
+    extract = jax.jit(lambda b: model.apply(
+        variables, b, False, method=MVSDet.extract_feat)["gaussians"])
+    gaussians = jax.tree_util.tree_map(jnp.asarray, extract(batch))
+    render = jax.jit(lambda g, b: model.apply(
+        variables, g, b, cfg.model.target_size,
+        method=MVSDet.render_targets))
+    t_render = timed(render, gaussians, batch)
+    trace("render timed")
+
+    scenes_per_s = 1.0 / t_step
+    sweep_views_per_s = n_src / t_sweep
     print(json.dumps({
-        "metric": "plane_sweep_views_per_s_per_chip",
-        "value": round(views_per_s, 2),
-        "unit": "views/s/chip",
-        "vs_baseline": round(views_per_s / A5000_BASELINE_VIEWS_PER_S, 3),
+        "metric": "full_train_step_scenes_per_s",
+        "value": round(scenes_per_s, 3),
+        "unit": "scenes/s/chip",
+        "vs_baseline": round(scenes_per_s / A5000_BASELINE_SCENES_PER_S, 3),
+        "phases_ms": {
+            "backbone_fpn": round(t_backbone * 1e3, 1),
+            "sweep_costreg": round(t_sweep * 1e3, 1),
+            "lift": round(t_lift * 1e3, 1),
+            "gaussian_render": round(t_render * 1e3, 1),
+            "forward_total": round(t_fwd * 1e3, 1),
+            "backward_update": round((t_step - t_fwd) * 1e3, 1),
+            "step_total": round(t_step * 1e3, 1),
+        },
+        "plane_sweep_views_per_s_per_chip": round(sweep_views_per_s, 2),
+        "workload": {"n_src_views": n_src, "n_targets": n_tgt,
+                     "image": list(cfg.model.image_size),
+                     "target": list(cfg.model.target_size),
+                     "dtype": "bfloat16"},
+        "baseline_note": "A5000 roofline estimate (~1 scene/s), not a "
+                         "measurement; the reference publishes no "
+                         "throughput (BASELINE.md)",
     }))
 
 

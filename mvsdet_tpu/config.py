@@ -210,18 +210,39 @@ def scannet_config() -> Config:
     return Config()
 
 
+ARKIT_CLASSES = (
+    "cabinet", "refrigerator", "shelf", "stove", "bed",
+    "sink", "washer", "toilet", "bathtub", "oven",
+    "dishwasher", "fireplace", "stool", "chair", "table",
+    "tv_monitor", "sofa",
+)
+
+
 def arkit_config() -> Config:
     """ARKitScenes preset: per-view intrinsics + 7-DoF yaw head.
 
-    Reference: projects/NeRF-Det/configs/mvsdet_arkit_base.py — 7 reg outs,
-    rotated boxes, per-view intrinsics paths (mvsdet.py:421-428).
+    Reference: projects/NeRF-Det/configs/mvsdet_arkit_base.py +
+    mvsdet_arkit.py — 17 classes (:71-76), 7 reg outs / rotated boxes,
+    near_far [0.5, 5.5] (mvsdet_arkit.py:15), 42 train / 101 test views
+    with 2/1 targets (:91,101,114,124), 'random' loading (base :123),
+    RepeatDataset x2 (base :156), per-view intrinsics paths
+    (mvsdet.py:421-428).  ARKit lowres captures are 192x256.
     """
     base = Config()
     return dataclasses.replace(
         base,
         model=dataclasses.replace(
             base.model,
-            head=dataclasses.replace(base.model.head, n_reg_outs=7, with_yaw=True),
+            near_far_range=(0.5, 5.5),
+            head=dataclasses.replace(
+                base.model.head, n_classes=17, n_reg_outs=7, with_yaw=True),
+        ),
+        data=dataclasses.replace(
+            base.data,
+            n_views_train=42, n_views_test=101,
+            nerf_target_views_train=2, nerf_target_views_test=1,
+            loading_train="random", repeat=2,
+            classes=ARKIT_CLASSES,
         ),
     )
 

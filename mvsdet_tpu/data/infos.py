@@ -73,7 +73,13 @@ def load_infos(pkl_path: str, data_root: str = "",
         c2w = (axis_align[None] @ lidar2cam).astype(np.float32)
         w2c = np.linalg.inv(c2w).astype(np.float32)
         img_paths = [os.path.join(data_root, p) for p in rec["img_paths"]]
-        depth_paths = [p[:-4] + ".png" for p in img_paths]
+        if "depth_paths" in rec:
+            # ARKit records carry explicit depth paths
+            # (scannet_multiview_dataset.py:303-306)
+            depth_paths = [os.path.join(data_root, p)
+                           for p in rec["depth_paths"]]
+        else:
+            depth_paths = [p[:-4] + ".png" for p in img_paths]
 
         boxes, labels = [], []
         for inst in rec.get("instances", []):
@@ -93,6 +99,12 @@ def load_infos(pkl_path: str, data_root: str = "",
         if intrinsic.ndim == 2 and intrinsic.shape == (3, 3):
             k4 = np.eye(4, dtype=np.float32)
             k4[:3, :3] = intrinsic
+            intrinsic = k4
+        elif intrinsic.ndim == 3 and intrinsic.shape[1:] == (3, 3):
+            # ARKit per-view Ks (scannet_multiview_dataset.py:310-315)
+            k4 = np.tile(np.eye(4, dtype=np.float32),
+                         (intrinsic.shape[0], 1, 1))
+            k4[:, :3, :3] = intrinsic
             intrinsic = k4
 
         scenes.append(SceneInfo(

@@ -184,6 +184,11 @@ class ScenePipeline:
         ori_h, ori_w = scene.original_hw
         k_img = _scale_k_xy(scene.intrinsic, w / ori_w, h / ori_h)
         k_tgt = _scale_k_xy(scene.intrinsic, wt / ori_w, ht / ori_h)
+        if k_img.ndim == 3:
+            # ARKit per-view intrinsics (scannet_multiview_dataset.py:310-315):
+            # select the sampled source/target views' K
+            k_img = k_img[src]
+            k_tgt = k_tgt[tgt]
 
         origin = np.asarray(dc.origin, np.float32).copy()
         if self.training:
@@ -193,11 +198,12 @@ class ScenePipeline:
 
         max_b = mc.head.max_boxes
         nb = min(len(scene.gt_boxes), max_b)
-        gt_boxes = np.zeros((max_b, 6), np.float32)
+        box_dim = 7 if mc.head.with_yaw else 6   # ARKit carries yaw
+        gt_boxes = np.zeros((max_b, box_dim), np.float32)
         gt_labels = np.zeros((max_b,), np.int32)
         gt_mask = np.zeros((max_b,), bool)
         if nb:
-            gt_boxes[:nb] = scene.gt_boxes[:nb, :6]
+            gt_boxes[:nb] = scene.gt_boxes[:nb, :box_dim]
             gt_labels[:nb] = scene.gt_labels[:nb]
             gt_mask[:nb] = True
 
@@ -216,6 +222,10 @@ class ScenePipeline:
         )
         if self.load_depth:
             batch["depth"] = np.stack(depths)
+            # target-view GT depth for the rendered-depth metric
+            # (GaussianDepthMetric input, Indoor_NVS.py:231-283)
+            batch["gt_depth"] = np.stack(
+                [_read_depth(scene.depth_paths[i], (ht, wt)) for i in tgt])
         return batch
 
 

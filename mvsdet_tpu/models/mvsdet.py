@@ -332,8 +332,8 @@ class MVSDet(nn.Module):
                 src_c2w, feat_intrinsic, batch["tgt_c2w"])
 
         return dict(levels=levels, valid_count=valid_cnt, est_depth=est_depth,
-                    depth_expect=depth_expect, gaussians=gaussians,
-                    prob=prob)
+                    est_prob=est_prob, depth_expect=depth_expect,
+                    gaussians=gaussians, prob=prob, proj44=proj44)
 
     def render_targets(self, gaussians: Gaussians, batch, image_shape):
         """Splat the scene gaussians into every render target view.
@@ -363,6 +363,42 @@ class MVSDet(nn.Module):
             k_t = tgt_k[:3, :3] if tgt_k.ndim == 2 else tgt_k[t, :3, :3]
             imgs.append(render(batch["tgt_c2w"][t], k_t / norm))
         return jnp.stack(imgs)                                # (T, Ht, Wt, 3)
+
+    def render_target_depth(self, gaussians: Gaussians, batch, image_shape):
+        """Splat per-gaussian camera depth into each target view.
+
+        The reference's DecoderSplattingCUDA depth mode
+        (gs_src/model/decoder/decoder_splatting_cuda.py render_depth →
+        cuda_splatting.py:render_cuda with per-gaussian z), consumed by
+        GaussianDepthMetric (Indoor_NVS.py:231-283).  Composites the
+        gaussian z-depth in the target frame through the same
+        alpha-blending as color (value_override), background depth 0.
+
+        Returns (T, H, W) float32.
+        """
+        tgt_k = batch["tgt_intrinsic"]
+        ht, wt = image_shape
+        norm = jnp.asarray([[wt], [ht], [1.0]], jnp.float32)
+        tiled = self.cfg.gs.splat_impl == "tiled"
+        depths = []
+        for t in range(batch["tgt_c2w"].shape[0]):
+            c2w = batch["tgt_c2w"][t]
+            k_t = tgt_k[:3, :3] if tgt_k.ndim == 2 else tgt_k[t, :3, :3]
+            w2c = jnp.linalg.inv(c2w)
+            z = (gaussians.means @ w2c[2, :3].T + w2c[2, 3])[:, None]  # (G,1)
+            if tiled:
+                d = render_view_tiled(
+                    gaussians.means, gaussians.covariances,
+                    gaussians.harmonics, gaussians.opacities, c2w,
+                    k_t / norm, image_shape, value_override=z,
+                    capacity=self.cfg.gs.splat_capacity)
+            else:
+                d = render_view(
+                    gaussians.means, gaussians.covariances,
+                    gaussians.harmonics, gaussians.opacities, c2w,
+                    k_t / norm, image_shape, value_override=z)
+            depths.append(d[..., 0])
+        return jnp.stack(depths)
 
     def _head_points_and_valid(self, valid_count, origin):
         mc = self.cfg
@@ -427,9 +463,17 @@ class MVSDet(nn.Module):
         aux.update(losses)
         return total, aux
 
-    def predict(self, batch: Dict[str, jnp.ndarray]) -> Dict:
+    def predict(self, batch: Dict[str, jnp.ndarray],
+                diagnostics: bool = False) -> Dict:
         """Inference: NMS'd boxes + rendered target views
-        (`MVSDet.predict`, mvsdet.py:917-1061)."""
+        (`MVSDet.predict`, mvsdet.py:917-1061).
+
+        With ``diagnostics=True`` (static), additionally returns:
+          rendered_depth: (T, Ht, Wt) splatted target depth
+            (the GaussianDepthMetric input, mvsdet.py:1022-1024);
+          weight_gap / src_rmse: GT-depth-assisted lift diagnostics
+            (mvsdet.py:984-991, 1053-1058) — requires ``batch["depth"]``.
+        """
         result = self(batch, train=False)
         predict_fn = (head_predict_rotated if self.cfg.head.with_yaw
                       else head_predict)
@@ -438,4 +482,32 @@ class MVSDet(nn.Module):
         if "rendered" in result:
             pred["rendered"] = result["rendered"]
         pred["depth_expect"] = result["depth_expect"]
+        if diagnostics and result["gaussians"] is not None:
+            image_shape = (batch["gt_images"].shape[1:3]
+                           if "gt_images" in batch
+                           else self.cfg.target_size)
+            pred["rendered_depth"] = self.render_target_depth(
+                result["gaussians"], batch, image_shape)
+            # flat gaussian arrays for PLY export (ply_export.py; ref
+            # visualization_dump -> save_pcd, mvsdet.py:976-982)
+            g = result["gaussians"]
+            pred["gs_means"] = g.means
+            pred["gs_covariances"] = g.covariances
+            pred["gs_harmonics"] = g.harmonics
+            pred["gs_opacities"] = g.opacities
+        if diagnostics and "depth" in batch:
+            from mvsdet_tpu.ops.voxel_lift import lift_diagnostics
+
+            est = result["depth_expect"]
+            gt_feat = jax.vmap(
+                lambda d: bilinear_resize(d[..., None], est.shape[1:3])
+                [..., 0])(batch["depth"])
+            points = voxel_points(self.cfg.n_voxels, self.cfg.voxel_size,
+                                  batch["origin"]).reshape(3, -1).T
+            wg, sr = lift_diagnostics(
+                result["proj44"][:, :3, :4], result["est_depth"],
+                result["est_prob"], points, self.cfg.voxel_size[2],
+                gt_feat, est)
+            pred["weight_gap"] = wg
+            pred["src_rmse"] = sr
         return pred

@@ -129,6 +129,69 @@ def lift_features_to_voxels(
     return vol, cnt
 
 
+def lift_diagnostics(
+    projections: jnp.ndarray,
+    est_depth: jnp.ndarray,
+    est_prob: jnp.ndarray,
+    points: jnp.ndarray,
+    voxel_size_z: float,
+    gt_depth: jnp.ndarray,
+    depth_expect: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GT-depth-assisted lift diagnostics (the reference's debug branch,
+    mvsdet.py:1436-1492, surfaced as `weight_gap` / `src_rmse` on each
+    prediction, mvsdet.py:1053-1058).
+
+    Per view, every in-frustum voxel gets a "GT validity" bit — is its
+    camera z within one voxel_z of the GT depth at its pixel — and the
+    gap is the MSE between that bit and the voxel's lifted probability
+    weight, averaged over in-frustum voxels then views.  `src_rmse` is
+    the MSE between the depth expectation map and GT depth over valid
+    pixels (the reference computes MSE despite the name, :1446-1448).
+
+    Args:
+      projections: (N, 3, 4); est_depth/est_prob: (N, H, W, K);
+      points: (V, 3); gt_depth: (N, H, W) at feature resolution
+      (0 = invalid); depth_expect: (N, H, W).
+
+    Returns:
+      (weight_gap, src_rmse) scalars.
+    """
+    prob_norm = est_prob / (jnp.sum(est_prob, axis=-1, keepdims=True) + 1e-12)
+    h, w = gt_depth.shape[1:3]
+
+    def one_view(proj, d, p, gt):
+        homo = jnp.concatenate([points, jnp.ones_like(points[:, :1])],
+                               axis=-1)
+        pp = feinsum("ij,vj->vi", proj, homo)
+        z = pp[:, 2]
+        z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        x = jnp.round(pp[:, 0] / z_safe).astype(jnp.int32)
+        y = jnp.round(pp[:, 1] / z_safe).astype(jnp.int32)
+        valid0 = (x >= 0) & (y >= 0) & (x < w) & (y < h) & (z > 0)
+        pix = jnp.clip(y, 0, h - 1) * w + jnp.clip(x, 0, w - 1)
+        d_k = jnp.take(d.reshape(h * w, -1), pix, axis=0)
+        p_k = jnp.take(p.reshape(h * w, -1), pix, axis=0)
+        window = (valid0[:, None]
+                  & (z[:, None] > d_k - voxel_size_z)
+                  & (z[:, None] < d_k + voxel_size_z))
+        weight = jnp.max(jnp.where(window, p_k, 0.0), axis=1)
+        gt_z = jnp.take(gt.reshape(-1), pix)
+        gt_valid = (valid0 & (z > gt_z - voxel_size_z)
+                    & (z < gt_z + voxel_size_z)).astype(jnp.float32)
+        gap = (jnp.sum(jnp.where(valid0, (gt_valid - weight) ** 2, 0.0))
+               / jnp.maximum(jnp.sum(valid0), 1))
+        return gap
+
+    gaps = jax.lax.map(lambda args: one_view(*args),
+                       (projections, est_depth, prob_norm, gt_depth))
+    weight_gap = jnp.mean(gaps)
+    mask = gt_depth > 0
+    src_rmse = (jnp.sum(jnp.where(mask, (depth_expect - gt_depth) ** 2, 0.0))
+                / jnp.maximum(jnp.sum(mask), 1))
+    return weight_gap, src_rmse
+
+
 def finalize_volume(volume_sum: jnp.ndarray,
                     valid_count: jnp.ndarray) -> jnp.ndarray:
     """View-mean with empty voxels zeroed (mvsdet.py:511-515, 681-682)."""

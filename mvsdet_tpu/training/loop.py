@@ -33,18 +33,26 @@ class TrainState:
 
 def create_train_state(cfg: Config, rng, example_batch,
                        steps_per_epoch: int = 1000,
-                       sweep_chunk: int = 8) -> Tuple[MVSDet, TrainState, Any]:
+                       sweep_chunk: int = 8,
+                       dtype: Any = jnp.float32) -> Tuple[MVSDet, TrainState,
+                                                          Any]:
     """Initialise model variables and optimizer state.
 
     Args:
       example_batch: single-scene batch dict (jnp arrays) used for
         shape-driven init.
+      dtype: compute dtype for the model (params stay fp32); bfloat16
+        keeps the matmuls/convs on the MXU's native precision.
 
     Returns:
       (model, state, tx).
     """
-    model = MVSDet(cfg.model, sweep_chunk=sweep_chunk)
-    variables = model.init(rng, example_batch, method=MVSDet.loss)
+    model = MVSDet(cfg.model, sweep_chunk=sweep_chunk, dtype=dtype)
+    # jit the init: eager init dispatches thousands of tiny ops, which
+    # is minutes of round-trips on a tunneled TPU; one compile instead
+    variables = jax.jit(
+        functools.partial(model.init, method=MVSDet.loss))(rng,
+                                                           example_batch)
     params = variables["params"]
     tx = build_optimizer(cfg.optim, params, steps_per_epoch)
     state = TrainState(

@@ -110,3 +110,93 @@ class TestSweepEquivalence:
         out2 = np.asarray(
             plane_sweep_mxu.homography_warp_mxu(feat, m2[None]))[0]
         np.testing.assert_allclose(out2, 0.0, atol=1e-6)
+
+
+class TestRealisticFeatures:
+    """MXU-vs-gather agreement on features with REAL statistics.
+
+    The band-limited tests above establish the approximation error of the
+    two-pass shear warp on smooth inputs; these establish the effect on
+    the quantities the detector actually consumes — depth probabilities
+    and top-k depth hypotheses — using feature maps produced by the
+    actual ResNet-50+FPN backbone on rendered images (not white noise,
+    not artificially smoothed).  Ref workload: mvsdet.py:438-482.
+    """
+
+    @pytest.fixture(scope="class")
+    def depth_outputs(self):
+        import jax
+
+        from mvsdet_tpu.config import tiny_test_config
+        from mvsdet_tpu.data.synthetic import make_synthetic_scene
+        from mvsdet_tpu.geometry.cameras import (full_projection,
+                                                 knn_camera_neighbors,
+                                                 scale_intrinsics)
+        from mvsdet_tpu.models.mvsdet import MVSDet
+
+        cfg = tiny_test_config()
+        scene = make_synthetic_scene(cfg, seed=7, n_views=6, n_targets=1)
+        batch = {k: jnp.asarray(v) for k, v in scene.items()}
+
+        model_mxu = MVSDet(cfg.model, sweep_chunk=2, sweep_method="mxu")
+        model_gat = MVSDet(cfg.model, sweep_chunk=2, sweep_method="gather")
+        variables = model_mxu.init(jax.random.PRNGKey(0), batch,
+                                   method=MVSDet.loss)
+
+        feats = model_mxu.apply(variables, batch["images"],
+                                method=MVSDet.image_features)
+        feats = feats.astype(jnp.float32)
+        feat_k = scale_intrinsics(batch["intrinsic"],
+                                  float(cfg.model.feature_stride))
+        proj44 = full_projection(batch["w2c"], feat_k)
+        c2w = jnp.linalg.inv(batch["w2c"])
+        nb = knn_camera_neighbors(c2w[:, :3, 3],
+                                  cfg.model.plane_sweep_neighbors)
+
+        outs = {}
+        for name, mdl in (("mxu", model_mxu), ("gather", model_gat)):
+            prob, off = mdl.apply(variables, feats, proj44, nb, False,
+                                  method=MVSDet.depth_probabilities)
+            est_depth, est_prob, expect = mdl.apply(
+                variables, prob, off, method=MVSDet.sample_depth)
+            outs[name] = dict(prob=np.asarray(prob),
+                              est_depth=np.asarray(est_depth),
+                              est_prob=np.asarray(est_prob),
+                              expect=np.asarray(expect))
+        return cfg, outs
+
+    def test_depth_probabilities_correlate(self, depth_outputs):
+        cfg, outs = depth_outputs
+        a, b = outs["mxu"]["prob"], outs["gather"]["prob"]
+        corr = np.corrcoef(a.ravel(), b.ravel())[0, 1]
+        assert corr > 0.95, corr
+        assert np.abs(a - b).mean() < 0.02
+
+    def test_top1_plane_agreement(self, depth_outputs):
+        cfg, outs = depth_outputs
+        # argmax plane per pixel must agree for the vast majority
+        top_mxu = outs["mxu"]["prob"].argmax(axis=1)
+        top_gat = outs["gather"]["prob"].argmax(axis=1)
+        agree = float((top_mxu == top_gat).mean())
+        assert agree > 0.9, agree
+
+    def test_depth_expectation_within_fraction_of_interval(
+            self, depth_outputs):
+        cfg, outs = depth_outputs
+        interval = cfg.model.depth_interval
+        rmse = float(np.sqrt(np.mean(
+            (outs["mxu"]["expect"] - outs["gather"]["expect"]) ** 2)))
+        assert rmse < 0.5 * interval, (rmse, interval)
+
+    def test_topk_depth_sets_overlap(self, depth_outputs):
+        cfg, outs = depth_outputs
+        k = cfg.model.topk
+        # compare top-k plane-index sets per pixel (order-insensitive)
+        def plane_sets(prob):
+            idx = np.argsort(-prob, axis=1)[:, :k]          # (N,k,h,w)
+            return np.sort(idx, axis=1)
+
+        sa = plane_sets(outs["mxu"]["prob"])
+        sb = plane_sets(outs["gather"]["prob"])
+        overlap = float((sa == sb).mean())
+        assert overlap > 0.8, overlap

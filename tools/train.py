@@ -45,6 +45,14 @@ def parse_args():
                         "backbone init (ref torchvision://resnet50, "
                         "mvsdet_res50_2x_low_res_depth.py:25)")
     p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--val-infos", default=None,
+                   help="path to *_infos_val_new.pkl: evaluate each epoch "
+                        "and keep the best-by-mAP@0.25 checkpoint (ref "
+                        "val_cfg + CheckpointHook save_best, "
+                        "mvsdet_res50_2x_low_res.py:164-172)")
+    p.add_argument("--val-synthetic", type=int, default=0,
+                   help="evaluate on N synthetic scenes each epoch")
+    p.add_argument("--val-max-scenes", type=int, default=None)
     return p.parse_args()
 
 
@@ -159,6 +167,48 @@ def main():
         def next_batch():
             return next(it)
 
+    # ---- per-epoch validation + best-by-mAP@0.25 checkpoint ----------
+    val_scenes = None
+    if args.val_synthetic:
+        from mvsdet_tpu.data.synthetic import make_synthetic_scene
+
+        nv_test = cfg.data.n_views_test
+        val_scenes = [
+            make_synthetic_scene(cfg, seed=5000 + s,
+                                 n_views=nv_test
+                                 - cfg.data.nerf_target_views_test,
+                                 n_targets=cfg.data.nerf_target_views_test)
+            for s in range(args.val_synthetic)]
+    elif args.val_infos:
+        from mvsdet_tpu.data.infos import load_infos
+        from mvsdet_tpu.data.pipeline import ScenePipeline
+
+        val_infos = load_infos(args.val_infos, args.data_root,
+                               cfg.data.classes)
+        if args.val_max_scenes:
+            val_infos = val_infos[: args.val_max_scenes]
+        val_pipeline = ScenePipeline(cfg, training=False)
+
+        def val_scenes_fn():
+            # per-scene-keyed rng: deterministic regardless of scene count
+            return [val_pipeline(s, np.random.RandomState(args.seed + i))
+                    for i, s in enumerate(val_infos)]
+
+    def run_eval(state):
+        from mvsdet_tpu.evaluation.harness import (evaluate_scenes,
+                                                   make_predict_fn)
+
+        scenes = val_scenes if val_scenes is not None else val_scenes_fn()
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats,
+                     "frozen": state.frozen}
+        predict = make_predict_fn(model, variables)
+        return evaluate_scenes(predict, scenes,
+                               num_classes=cfg.model.head.n_classes)
+
+    do_eval = bool(args.val_synthetic or args.val_infos)
+    best_map = -1.0
+
     log_path = os.path.join(args.work_dir, "train_log.jsonl")
     t_start = time.time()
     first_batch = example if n_dp * n_vp == 1 else None
@@ -172,10 +222,21 @@ def main():
             print(json.dumps(rec), flush=True)
             with open(log_path, "a") as f:
                 f.write(json.dumps(rec) + "\n")
-        if (i + 1) % steps_per_epoch == 0:
+        if (i + 1) % steps_per_epoch == 0 or i == total_steps - 1:
             save_checkpoint(os.path.join(args.work_dir, "latest"), state)
-    save_checkpoint(os.path.join(args.work_dir, "latest"), state)
-    print("done:", total_steps, "steps")
+            if do_eval:
+                results = run_eval(state)
+                rec = {"step": i, "eval": {k: round(float(v), 4)
+                                           for k, v in results.items()}}
+                print(json.dumps(rec), flush=True)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                if results.get("mAP_0.25", 0.0) > best_map:
+                    best_map = results["mAP_0.25"]
+                    save_checkpoint(os.path.join(args.work_dir, "best"),
+                                    state)
+    print("done:", total_steps, "steps",
+          ("best mAP@0.25: %.4f" % best_map) if do_eval else "")
 
 
 if __name__ == "__main__":
