@@ -7,7 +7,13 @@ TP if best IoU > threshold and GT unmatched; AP by the area-under-PR
 rule with the same 0/1 padding.  Pure numpy (the reference is CPU numpy
 at this stage too, SURVEY §3.3).
 
-Boxes are (cx, cy, cz, dx, dy, dz) gravity-centred axis-aligned.
+Boxes are (cx, cy, cz, dx, dy, dz) gravity-centred axis-aligned, or
+(cx, cy, cz, dx, dy, dz, yaw) for ARKit rotated boxes — `indoor_map`
+dispatches on the last dimension.  Rotated overlap is exact BEV
+Sutherland-Hodgman polygon clipping x z-extent intersection, matching
+the mmcv polygon-clip semantics behind the reference's rotated eval
+(mmdet3d/evaluation/functional/indoor_eval.py:8-302 with
+`DepthInstance3DBoxes.overlaps` -> CUDA `iou3d`).
 """
 
 from __future__ import annotations
@@ -28,6 +34,100 @@ def aligned_iou_numpy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     va = np.clip(a[:, 3:], 0, None).prod(-1)
     vb = np.clip(b[:, 3:], 0, None).prod(-1)
     return inter / np.maximum(va[:, None] + vb[None] - inter, 1e-12)
+
+
+def _bev_corners(boxes7: np.ndarray) -> np.ndarray:
+    """BEV corners of (cx, cy, cz, dx, dy, dz, yaw) boxes -> (M, 4, 2)."""
+    cx, cy, dx, dy, yaw = (boxes7[:, 0], boxes7[:, 1], boxes7[:, 3],
+                           boxes7[:, 4], boxes7[:, 6])
+    cos, sin = np.cos(yaw), np.sin(yaw)
+    hx, hy = dx / 2, dy / 2
+    local = np.stack([np.stack([hx, hy], -1), np.stack([-hx, hy], -1),
+                      np.stack([-hx, -hy], -1), np.stack([hx, -hy], -1)],
+                     axis=1)                                   # (M, 4, 2)
+    rot = np.stack([np.stack([cos, -sin], -1),
+                    np.stack([sin, cos], -1)], axis=1)         # (M, 2, 2)
+    pts = np.einsum("mij,mkj->mki", rot, local)
+    return pts + np.stack([cx, cy], -1)[:, None, :]
+
+
+def _clip_polygon(poly: List[np.ndarray], p0: np.ndarray,
+                  p1: np.ndarray) -> List[np.ndarray]:
+    """Sutherland-Hodgman: keep the half-plane left of edge p0->p1
+    (edges wind counter-clockwise for positive-area quads)."""
+    edge = p1 - p0
+    out: List[np.ndarray] = []
+    n = len(poly)
+    for i in range(n):
+        cur, nxt = poly[i], poly[(i + 1) % n]
+        c_in = edge[0] * (cur[1] - p0[1]) - edge[1] * (cur[0] - p0[0]) >= 0
+        n_in = edge[0] * (nxt[1] - p0[1]) - edge[1] * (nxt[0] - p0[0]) >= 0
+        if c_in:
+            out.append(cur)
+        if c_in != n_in:
+            d = nxt - cur
+            denom = edge[0] * d[1] - edge[1] * d[0]
+            if abs(denom) > 1e-12:
+                t = (edge[0] * (p0[1] - cur[1])
+                     - edge[1] * (p0[0] - cur[0])) / denom
+                out.append(cur + t * d)
+    return out
+
+
+def _poly_area(poly: List[np.ndarray]) -> float:
+    if len(poly) < 3:
+        return 0.0
+    pts = np.stack(poly)
+    x, y = pts[:, 0], pts[:, 1]
+    return float(abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+                 / 2.0)
+
+
+def rotated_iou_numpy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(M, 7) x (N, 7) exact rotated 3D IoU (BEV polygon clip x z overlap).
+
+    CCW corner winding from `_bev_corners` makes the half-plane test in
+    `_clip_polygon` keep the interior; yaw convention matches
+    `rotated_iou_bev_sampled` (ops/nms.py:100-169) and the ARKit head
+    decode (models/head.py), i.e. the reference's DepthInstance3DBoxes.
+    """
+    m, n = len(a), len(b)
+    iou = np.zeros((m, n), np.float32)
+    if m == 0 or n == 0:
+        return iou
+    ca, cb = _bev_corners(a), _bev_corners(b)
+    va = np.clip(a[:, 3:6], 0, None).prod(-1)
+    vb = np.clip(b[:, 3:6], 0, None).prod(-1)
+    az = np.stack([a[:, 2] - a[:, 5] / 2, a[:, 2] + a[:, 5] / 2], -1)
+    bz = np.stack([b[:, 2] - b[:, 5] / 2, b[:, 2] + b[:, 5] / 2], -1)
+    for i in range(m):
+        for j in range(n):
+            zint = min(az[i, 1], bz[j, 1]) - max(az[i, 0], bz[j, 0])
+            if zint <= 0:
+                continue
+            poly = list(ca[i])
+            for k in range(4):
+                poly = _clip_polygon(poly, cb[j, k], cb[j, (k + 1) % 4])
+                if len(poly) < 3:
+                    break
+            inter = _poly_area(poly) * zint
+            union = va[i] + vb[j] - inter
+            if union > 1e-12:
+                iou[i, j] = inter / union
+    return iou
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Dispatch on box dim: 6 -> axis-aligned, 7 -> rotated."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    if a.shape[-1] == 7 or b.shape[-1] == 7:
+        if a.shape[-1] == 6:
+            a = np.concatenate([a, np.zeros((len(a), 1), np.float32)], -1)
+        if b.shape[-1] == 6:
+            b = np.concatenate([b, np.zeros((len(b), 1), np.float32)], -1)
+        return rotated_iou_numpy(a, b)
+    return aligned_iou_numpy(a, b)
 
 
 def _average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
@@ -73,7 +173,7 @@ def indoor_map(predictions: Sequence[Dict], ground_truths: Sequence[Dict],
             pmask = np.asarray(p["labels"]) == cls
             pboxes = np.asarray(p["boxes"], np.float32)[pmask]
             pscores = np.asarray(p["scores"], np.float32)[pmask]
-            iou = (aligned_iou_numpy(pboxes, gboxes)
+            iou = (box_iou(pboxes, gboxes)
                    if len(pboxes) and len(gboxes)
                    else np.zeros((len(pboxes), len(gboxes)), np.float32))
             scene_gt.append(len(gboxes))

@@ -3,7 +3,8 @@ tests/test_evaluation/test_metrics/test_indoor_metric.py)."""
 
 import numpy as np
 
-from mvsdet_tpu.evaluation.indoor_eval import aligned_iou_numpy, indoor_map
+from mvsdet_tpu.evaluation.indoor_eval import (aligned_iou_numpy, box_iou,
+                                               indoor_map, rotated_iou_numpy)
 from mvsdet_tpu.evaluation.nvs_metrics import depth_rmse, psnr, ssim
 
 
@@ -55,6 +56,90 @@ class TestIndoorMap:
         assert 0.25 < iou[0, 0] < 0.5
         out = indoor_map(pred, gt)
         assert out["mAP_0.25"] == 1.0
+        assert out["mAP_0.50"] == 0.0
+
+
+class TestRotatedIoU:
+    """ARKit 7-dim box eval (ref indoor_eval.py with rotated overlaps)."""
+
+    def test_identical_boxes_iou_one(self):
+        b = np.array([[1, 2, 0.5, 2, 1, 1, 0.7]], np.float32)
+        assert abs(rotated_iou_numpy(b, b)[0, 0] - 1.0) < 1e-5
+
+    def test_45_degree_octagon_value(self):
+        # unit cube vs itself rotated 45 deg about z: BEV intersection is
+        # the regular octagon of area 2*(sqrt(2)-1); full z overlap
+        a = np.array([[0, 0, 0, 1, 1, 1, 0.0]], np.float32)
+        b = np.array([[0, 0, 0, 1, 1, 1, np.pi / 4]], np.float32)
+        inter = 2 * (np.sqrt(2) - 1)
+        expect = inter / (2 - inter)
+        assert abs(rotated_iou_numpy(a, b)[0, 0] - expect) < 1e-4
+
+    def test_yaw_invariant_to_joint_rotation(self):
+        a = np.array([[0, 0, 0, 2, 1, 1, 0.0]], np.float32)
+        b = np.array([[0.5, 0, 0, 2, 1, 1, 0.0]], np.float32)
+        base = rotated_iou_numpy(a, b)[0, 0]
+        for ang in (0.3, 1.1, 2.5):
+            c, s = np.cos(ang), np.sin(ang)
+            rot = np.array([[c, -s], [s, c]])
+
+            def spin(x):
+                y = x.copy()
+                y[:, :2] = x[:, :2] @ rot.T
+                y[:, 6] += ang
+                return y
+
+            assert abs(rotated_iou_numpy(spin(a), spin(b))[0, 0]
+                       - base) < 1e-4
+
+    def test_disjoint_z_is_zero(self):
+        a = np.array([[0, 0, 0, 1, 1, 1, 0.3]], np.float32)
+        b = np.array([[0, 0, 5, 1, 1, 1, 0.3]], np.float32)
+        assert rotated_iou_numpy(a, b)[0, 0] == 0.0
+
+    def test_matches_sampled_iou(self):
+        from mvsdet_tpu.ops.nms import rotated_iou_bev_sampled
+
+        rng = np.random.RandomState(0)
+        a = np.concatenate([rng.uniform(-1, 1, (12, 3)),
+                            rng.uniform(0.5, 2.0, (12, 3)),
+                            rng.uniform(-np.pi, np.pi, (12, 1))],
+                           -1).astype(np.float32)
+        b = np.concatenate([rng.uniform(-1, 1, (10, 3)),
+                            rng.uniform(0.5, 2.0, (10, 3)),
+                            rng.uniform(-np.pi, np.pi, (10, 1))],
+                           -1).astype(np.float32)
+        exact = rotated_iou_numpy(a, b)
+        sampled = np.asarray(rotated_iou_bev_sampled(a, b, grid=64))
+        assert np.max(np.abs(exact - sampled)) < 0.05
+
+    def test_box_iou_dispatch_zero_yaw_matches_aligned(self):
+        rng = np.random.RandomState(1)
+        a6 = np.concatenate([rng.uniform(-1, 1, (5, 3)),
+                             rng.uniform(0.5, 2.0, (5, 3))],
+                            -1).astype(np.float32)
+        b7 = np.concatenate([a6, np.zeros((5, 1), np.float32)], -1)
+        np.testing.assert_allclose(box_iou(a6, b7), aligned_iou_numpy(a6, a6),
+                                   atol=1e-5)
+
+    def test_indoor_map_rotated_perfect_is_one(self):
+        gt = [_scene([[0, 0, 0, 1, 1, 1, 0.5], [3, 3, 0, 2, 1, 1, -0.9]],
+                     [0, 1])]
+        pred = [_scene([[0, 0, 0, 1, 1, 1, 0.5], [3, 3, 0, 2, 1, 1, -0.9]],
+                       [0, 1], [0.9, 0.8])]
+        out = indoor_map(pred, gt)
+        assert out["mAP_0.25"] == 1.0
+        assert out["mAP_0.50"] == 1.0
+
+    def test_indoor_map_rotated_yaw_miss_is_fp_at_05(self):
+        # pi/4 yaw error on a long thin box: IoU well below 0.5
+        gt = [_scene([[0, 0, 0, 4, 0.5, 1, 0.0]], [0])]
+        pred = [_scene([[0, 0, 0, 4, 0.5, 1, np.pi / 4]], [0], [0.9])]
+        iou = rotated_iou_numpy(
+            np.asarray(pred[0]["boxes"], np.float32),
+            np.asarray(gt[0]["boxes"], np.float32))[0, 0]
+        assert iou < 0.5
+        out = indoor_map(pred, gt)
         assert out["mAP_0.50"] == 0.0
 
 
