@@ -50,8 +50,11 @@ def eval_sh_basis(dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
     """
     if not 0 <= degree <= MAX_DEGREE:
         raise ValueError(f"degree {degree} unsupported (max {MAX_DEGREE})")
+    # numpy in -> numpy out: lets _pinv_blocks precompute on the host
+    # without touching (or tracing through) the XLA backend
+    xp = np if isinstance(dirs, np.ndarray) else jnp
     x, y, z = dirs[..., 0], dirs[..., 1], dirs[..., 2]
-    one = jnp.ones_like(x)
+    one = xp.ones_like(x)
     out = [_C0 * one]
     if degree >= 1:
         out += [-_C1 * y, _C1 * z, -_C1 * x]
@@ -87,7 +90,7 @@ def eval_sh_basis(dirs: jnp.ndarray, degree: int) -> jnp.ndarray:
             _C4[7] * xz * (xx - 3.0 * yy),
             _C4[8] * (xx * (xx - 3.0 * yy) - yy * (3.0 * xx - yy)),
         ]
-    return jnp.stack(out, axis=-1)
+    return xp.stack(out, axis=-1)
 
 
 def _fibonacci_sphere(n: int) -> np.ndarray:
@@ -107,7 +110,7 @@ _SAMPLES = _fibonacci_sphere(_N_SAMPLES)
 
 
 def _basis_np(dirs: np.ndarray, degree: int) -> np.ndarray:
-    return np.asarray(eval_sh_basis(jnp.asarray(dirs, jnp.float32), degree),
+    return np.asarray(eval_sh_basis(np.asarray(dirs, np.float64), degree),
                       np.float64)
 
 
@@ -121,7 +124,16 @@ def _pinv_blocks(degree: int):
     return pinvs
 
 
-_PINV_CACHE = {d: _pinv_blocks(d) for d in range(MAX_DEGREE + 1)}
+# lazy: a module-level jnp computation would initialise the XLA backend
+# at import time, which breaks jax.distributed.initialize in multi-host
+# workers (it must run before any backend-initialising call)
+_PINV_CACHE: dict = {}
+
+
+def _get_pinv_blocks(degree: int):
+    if degree not in _PINV_CACHE:
+        _PINV_CACHE[degree] = _pinv_blocks(degree)
+    return _PINV_CACHE[degree]
 
 
 def sh_rotation_matrix(rot: jnp.ndarray, degree: int) -> jnp.ndarray:
@@ -146,7 +158,7 @@ def sh_rotation_matrix(rot: jnp.ndarray, degree: int) -> jnp.ndarray:
     basis_rot = eval_sh_basis(rotated, degree)  # (..., S, n)
     blocks = []
     for l in range(degree + 1):
-        pinv = jnp.asarray(_PINV_CACHE[degree][l], rot.dtype)  # (2l+1, S)
+        pinv = jnp.asarray(_get_pinv_blocks(degree)[l], rot.dtype)  # (2l+1, S)
         blk = feinsum("ms,...sk->...mk", pinv,
                          basis_rot[..., l * l:(l + 1) * (l + 1)])
         blocks.append(blk)

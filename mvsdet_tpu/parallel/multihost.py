@@ -24,7 +24,9 @@ def initialize(coordinator_address: Optional[str] = None,
     With no arguments, follows the standard TPU env (JAX autodetects on
     Cloud TPU); arguments mirror `jax.distributed.initialize`.
     """
-    if jax.process_count() > 1:
+    # NB: must not touch jax.process_count()/jax.devices() here — any
+    # backend-initialising call makes jax.distributed.initialize raise
+    if jax.distributed.is_initialized():
         return  # already initialised
     if coordinator_address is None and num_processes is None:
         env_addr = os.environ.get("MVSDET_COORDINATOR")

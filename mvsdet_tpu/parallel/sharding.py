@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mvsdet_tpu.models.mvsdet import MVSDet
 from mvsdet_tpu.training.loop import TrainState
@@ -106,7 +106,7 @@ def make_sharded_train_step(model: MVSDet, tx, mesh: Mesh,
         per_device, mesh=mesh,
         in_specs=(P(), {k: specs[k] for k in example_batch}),
         out_specs=(P(), P()),
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def step(state, batch):

@@ -1,0 +1,68 @@
+"""Two-process multihost smoke test (round-2 VERDICT missing-6).
+
+Actually exercises `jax.distributed.initialize` + the DCN data axis:
+two CPU processes (one virtual device each) join via
+MVSDET_COORDINATOR, build the global mesh, and take one lock-step
+sharded train step on different local scenes.  Both must report the
+same pmean'd loss and identical post-step parameters — the functional
+proof of the reference's dist_train.sh NNODES path
+(ref: tools/dist_train.sh, configs/_base_/default_runtime.py:14).
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "multihost_worker.py")
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_lockstep_train_step():
+    port = _free_port()
+    # strip the axon TPU plugin (PYTHONPATH sitecustomize): it eagerly
+    # touches the backend at interpreter startup, which breaks
+    # jax.distributed.initialize in the worker; CPU workers don't need it
+    base_env = {k: v for k, v in os.environ.items()
+                if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH",
+                             "PALLAS_AXON_POOL_IPS")}
+    procs = []
+    for pid in range(2):
+        env = {
+            **base_env,
+            "JAX_PLATFORMS": "cpu",
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=1",
+            "MVSDET_COORDINATOR": f"localhost:{port}",
+            "MVSDET_NUM_PROCESSES": "2",
+            "MVSDET_PROCESS_ID": str(pid),
+        }
+        procs.append(subprocess.Popen(
+            [sys.executable, WORKER], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=840)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"rc={p.returncode}\n{out}\n{err}"
+        outs.append(out)
+
+    lines = [next(l for l in o.splitlines() if l.startswith("MHOK"))
+             for o in outs]
+    parsed = [dict(re.findall(r"(\w+)=([-\d.]+)", l)) for l in lines]
+    assert parsed[0]["pid"] != parsed[1]["pid"]
+    # pmean'd loss and resulting params identical across processes
+    assert parsed[0]["loss"] == parsed[1]["loss"], lines
+    assert parsed[0]["fp"] == parsed[1]["fp"], lines
