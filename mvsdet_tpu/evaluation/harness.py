@@ -31,17 +31,23 @@ from mvsdet_tpu.evaluation.nvs_metrics import depth_rmse, psnr, ssim
 
 
 def make_predict_fn(model, variables, diagnostics: bool = False):
-    """One jitted predict closure (diagnostics flag is static)."""
+    """One jitted predict closure (diagnostics flag is static).
+
+    ``variables`` is a jit ARGUMENT, not a closure capture: captured
+    arrays are serialised into the compile payload on AOT backends
+    (axon remote_compile rejects the ~100 MB weight tree with HTTP 413),
+    while arguments ship as runtime buffers.
+    """
     import jax
 
     from mvsdet_tpu.models.mvsdet import MVSDet
 
     @jax.jit
-    def predict(batch):
-        return model.apply(variables, batch, diagnostics,
+    def predict(vars_, batch):
+        return model.apply(vars_, batch, diagnostics,
                            method=MVSDet.predict)
 
-    return predict
+    return lambda batch: predict(variables, batch)
 
 
 def evaluate_scenes(predict_fn: Callable, scenes: Iterable[Dict],
@@ -57,14 +63,19 @@ def evaluate_scenes(predict_fn: Callable, scenes: Iterable[Dict],
       vis_hook: optional fn(scene_index, scene, pred_host) called per
         scene with numpy outputs (tools/test.py --vis-dir dumps).
     """
+    import time
+
     import jax.numpy as jnp
 
     preds, gts = [], []
     psnrs, ssims, d_rmses, mvs_rmses, wgaps, srmses = [], [], [], [], [], []
+    predict_times = []
     for si, scene in enumerate(scenes):
         batch = {k: jnp.asarray(v) for k, v in scene.items()}
+        t0 = time.perf_counter()
         out = predict_fn(batch)
         out_np = {k: np.asarray(v) for k, v in out.items()}
+        predict_times.append(time.perf_counter() - t0)
         mask = out_np["mask"]
         preds.append({"boxes": out_np["boxes"][mask],
                       "scores": out_np["scores"][mask],
@@ -106,6 +117,12 @@ def evaluate_scenes(predict_fn: Callable, scenes: Iterable[Dict],
     if wgaps:
         results["weight_gap"] = float(np.mean(wgaps))
         results["src_rmse"] = float(np.mean(srmses))
+    if predict_times:
+        # scene 0 pays the jit compile; steady-state is the rest
+        results["predict_s_first"] = round(predict_times[0], 3)
+        if len(predict_times) > 1:
+            results["predict_s_per_scene"] = round(
+                float(np.mean(predict_times[1:])), 3)
     return results
 
 

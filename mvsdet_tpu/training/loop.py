@@ -65,6 +65,47 @@ def create_train_state(cfg: Config, rng, example_batch,
     return model, state, tx
 
 
+def create_predict_state(cfg: Config, rng, example_batch,
+                         sweep_chunk: int = 8,
+                         dtype: Any = jnp.float32,
+                         checkpoint: Optional[str] = None):
+    """Inference-only state: no optimizer, no loss-mode compile.
+
+    The reference's test path builds only the model and loads weights
+    (ref: tools/test.py:153-160 -> Runner.test); mirroring that here
+    avoids `create_train_state`'s loss-mode `model.init` jit (minutes on
+    a tunneled TPU) and the never-used optimizer state.  With a
+    checkpoint the param structure comes from `jax.eval_shape` (a trace,
+    zero compiles) and orbax restores into that abstract TrainState;
+    without one, params are randomly initialised (synthetic smoke runs).
+
+    Returns:
+      (model, variables) with variables = {params, batch_stats, frozen}.
+    """
+    model = MVSDet(cfg.model, sweep_chunk=sweep_chunk, dtype=dtype)
+    init = functools.partial(model.init, method=MVSDet.loss)
+    if checkpoint:
+        abstract = jax.eval_shape(init, rng, example_batch)
+        params_a = abstract["params"]
+        tx = build_optimizer(cfg.optim, params_a, 1000)
+        target = TrainState(
+            step=jax.ShapeDtypeStruct((), jnp.int32),
+            params=params_a,
+            batch_stats=abstract.get("batch_stats", {}),
+            frozen=abstract.get("frozen", {}),
+            opt_state=jax.eval_shape(tx.init, params_a))
+        state = load_checkpoint(checkpoint, target)
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats,
+                     "frozen": state.frozen}
+    else:
+        v = jax.jit(init)(rng, example_batch)
+        variables = {"params": v["params"],
+                     "batch_stats": v.get("batch_stats", {}),
+                     "frozen": v.get("frozen", {})}
+    return model, variables
+
+
 def load_pretrained_backbone(state: TrainState, path: str) -> TrainState:
     """Swap ImageNet-pretrained ResNet weights into a fresh train state.
 

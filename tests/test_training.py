@@ -94,3 +94,14 @@ class TestTrainStep:
         np.testing.assert_allclose(
             np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
             np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+
+        # predict-only state: eval_shape (zero-compile) abstract target,
+        # orbax restores the trained params exactly, no optimizer built
+        from mvsdet_tpu.training.loop import create_predict_state
+        _, variables = create_predict_state(
+            cfg, jax.random.PRNGKey(0), batch, sweep_chunk=2,
+            checkpoint=ckpt)
+        for ours, theirs in zip(
+                jax.tree_util.tree_leaves(variables["params"]),
+                jax.tree_util.tree_leaves(state.params)):
+            np.testing.assert_allclose(np.asarray(ours), np.asarray(theirs))

@@ -34,6 +34,10 @@ def parse_args():
     p.add_argument("--arkit", action="store_true",
                    help="ARKitScenes preset (per-view K, yaw head)")
     p.add_argument("--n-views", type=int, default=None)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="compute dtype (params stay fp32); the "
+                        "reference's AMP analogue (ref tools/train.py:104-114)")
     p.add_argument("--sweep-chunk", type=int, default=8)
     p.add_argument("--max-scenes", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -90,7 +94,7 @@ def main():
     from mvsdet_tpu.config import arkit_config, scannet_config
     from mvsdet_tpu.evaluation.harness import (evaluate_scenes,
                                                make_predict_fn)
-    from mvsdet_tpu.training.loop import create_train_state, load_checkpoint
+    from mvsdet_tpu.training.loop import create_predict_state
 
     cfg = arkit_config() if args.arkit else scannet_config()
     n_views = args.n_views or cfg.data.n_views_test
@@ -120,12 +124,9 @@ def main():
     import jax.numpy as jnp
 
     example = {k: jnp.asarray(v) for k, v in raw[0].items()}
-    model, state, _ = create_train_state(
-        cfg, jax.random.PRNGKey(0), example, sweep_chunk=args.sweep_chunk)
-    if args.checkpoint:
-        state = load_checkpoint(args.checkpoint, state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats,
-                 "frozen": state.frozen}
+    model, variables = create_predict_state(
+        cfg, jax.random.PRNGKey(0), example, sweep_chunk=args.sweep_chunk,
+        dtype=getattr(jnp, args.dtype), checkpoint=args.checkpoint)
 
     predict = make_predict_fn(model, variables,
                               diagnostics=args.diagnostics

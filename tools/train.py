@@ -30,12 +30,19 @@ def parse_args():
     p.add_argument("--work-dir", default="work_dirs/mvsdet")
     p.add_argument("--synthetic", type=int, default=0,
                    help="train on N synthetic scenes instead of a dataset")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny_test_config shapes (CPU smoke / parity runs)")
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--steps", type=int, default=None,
                    help="override total steps (debug)")
     p.add_argument("--data-parallel", type=int, default=1)
     p.add_argument("--view-parallel", type=int, default=1)
     p.add_argument("--sweep-chunk", type=int, default=8)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="compute dtype; params/optimizer stay fp32 — the "
+                        "reference's AMP option (ref tools/train.py:104-114)."
+                        " bfloat16 is the benched TPU configuration")
     p.add_argument("--n-views", type=int, default=None,
                    help="override views per scene")
     p.add_argument("--seed", type=int, default=0)
@@ -73,7 +80,11 @@ def main():
     # (the reference's dist_train.sh NNODES/MASTER_ADDR path)
     multihost.initialize()
 
-    cfg = scannet_config()
+    if args.tiny:
+        from mvsdet_tpu.config import tiny_test_config
+        cfg = tiny_test_config()
+    else:
+        cfg = scannet_config()
     if args.lr is not None:
         cfg = dataclasses.replace(
             cfg, optim=dataclasses.replace(cfg.optim, lr=args.lr))
@@ -117,7 +128,8 @@ def main():
     example = next(it)
     model, state, tx = create_train_state(
         cfg, jax.random.PRNGKey(args.seed), example,
-        steps_per_epoch=steps_per_epoch, sweep_chunk=args.sweep_chunk)
+        steps_per_epoch=steps_per_epoch, sweep_chunk=args.sweep_chunk,
+        dtype=getattr(jnp, args.dtype))
     if args.pretrained:
         state = load_pretrained_backbone(state, args.pretrained)
         print(f"loaded pretrained backbone from {args.pretrained}")
