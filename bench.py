@@ -9,9 +9,11 @@ a gaussian-splat NVS branch rendering 2 targets at 120x160
 
 This harness times OUR full jitted train step (forward + backward +
 AdamW update) at exactly that workload shape on one chip, in bfloat16
-compute / fp32 params, and reports scenes/s/chip, with a phase
-breakdown (backbone / sweep+costreg / lift / render / backward) from
-separately-jitted forward pieces.
+compute / fp32 params, and reports scenes/s/chip.  The headline JSON
+line is printed and flushed IMMEDIATELY after the step timing; the
+phase breakdown (backbone / sweep+costreg / lift / render) requires
+five more multi-minute jit compiles on a tunneled TPU and is therefore
+opt-in via BENCH_PHASES=1 (emitted as a second best-effort line).
 
 Baseline: the reference publishes no throughput, so ``vs_baseline``
 compares against an A5000 roofline ESTIMATE for the same computation,
@@ -25,6 +27,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 """
 
 import json
+import os
 import sys
 import time
 
@@ -42,16 +45,11 @@ def trace(msg):
 
 
 def timed(fn, *args, iters=ITERS, warmup=WARMUP):
-    import jax
+    # hard_sync, not block_until_ready: on the axon remote backend the
+    # latter returns before execution completes (measured 100x short)
+    from mvsdet_tpu.utils.profiling import timed as _timed
 
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return min(times)
+    return _timed(fn, *args, iters=iters, warmup=warmup)
 
 
 def main():
@@ -92,18 +90,40 @@ def main():
     t_step = timed(lambda: step_fn(state, batch)[1]["loss"])
     trace("train step timed: %.3fs" % t_step)
 
+    # ---- headline: print + flush NOW, before any further compiles ----
+    scenes_per_s = 1.0 / t_step
+    print(json.dumps({
+        "metric": "full_train_step_scenes_per_s",
+        "value": round(scenes_per_s, 3),
+        "unit": "scenes/s/chip",
+        "vs_baseline": round(scenes_per_s / A5000_BASELINE_SCENES_PER_S, 3),
+        "step_ms": round(t_step * 1e3, 1),
+        "workload": {"n_src_views": n_src, "n_targets": n_tgt,
+                     "image": list(cfg.model.image_size),
+                     "target": list(cfg.model.target_size),
+                     "dtype": "bfloat16"},
+        "baseline_note": "A5000 roofline estimate (~1 scene/s), not a "
+                         "measurement; the reference publishes no "
+                         "throughput (BASELINE.md)",
+    }), flush=True)
+
+    if os.environ.get("BENCH_PHASES", "0") != "1":
+        return
+
     # ---- phase breakdown (separately-jitted forward pieces) ----------
-    fwd = jax.jit(lambda b: model.apply(
-        variables, b, method=MVSDet.loss,
-        mutable=["batch_stats"])[0][0])
-    t_fwd = timed(fwd, batch)
+    # NB: variables passed as jit ARGUMENTS, not closure captures —
+    # captured arrays get serialised into the AOT compile payload
+    # (axon remote_compile 413s on the ~100 MB weight tree)
+    fwd = jax.jit(lambda v, b: model.apply(
+        v, b, method=MVSDet.loss, mutable=["batch_stats"])[0][0])
+    t_fwd = timed(fwd, variables, batch)
     trace("fwd timed: %.3fs" % t_fwd)
 
-    backbone = jax.jit(lambda imgs: model.apply(
-        variables, imgs, method=MVSDet.image_features))
+    backbone = jax.jit(lambda v, imgs: model.apply(
+        v, imgs, method=MVSDet.image_features))
     images = batch["images"].astype(jnp.bfloat16)
-    feats = backbone(images)
-    t_backbone = timed(backbone, images)
+    feats = backbone(variables, images)
+    t_backbone = timed(backbone, variables, images)
     trace("backbone timed")
 
     feats32 = feats.astype(jnp.float32)
@@ -114,16 +134,16 @@ def main():
     neighbor_ids = knn_camera_neighbors(c2w[:, :3, 3],
                                         cfg.model.plane_sweep_neighbors)
 
-    sweep = jax.jit(lambda f: model.apply(
-        variables, f, proj44, neighbor_ids, False,
+    sweep = jax.jit(lambda v, f: model.apply(
+        v, f, proj44, neighbor_ids, False,
         method=MVSDet.depth_probabilities))
-    prob, off = sweep(feats32)
-    t_sweep = timed(sweep, feats32)
+    prob, off = sweep(variables, feats32)
+    t_sweep = timed(sweep, variables, feats32)
     trace("sweep timed")
 
-    sample = jax.jit(lambda p, o: model.apply(
-        variables, p, o, method=MVSDet.sample_depth))
-    est_depth, est_prob, depth_expect = sample(prob, off)
+    sample = jax.jit(lambda v, p, o: model.apply(
+        v, p, o, method=MVSDet.sample_depth))
+    est_depth, est_prob, depth_expect = sample(variables, prob, off)
     points = voxel_points(cfg.model.n_voxels, cfg.model.voxel_size,
                           batch["origin"]).reshape(3, -1).T
 
@@ -132,22 +152,19 @@ def main():
     t_lift = timed(lift, feats32, est_depth, est_prob)
     trace("lift timed")
 
-    extract = jax.jit(lambda b: model.apply(
-        variables, b, False, method=MVSDet.extract_feat)["gaussians"])
-    gaussians = jax.tree_util.tree_map(jnp.asarray, extract(batch))
-    render = jax.jit(lambda g, b: model.apply(
-        variables, g, b, cfg.model.target_size,
+    extract = jax.jit(lambda v, b: model.apply(
+        v, b, False, method=MVSDet.extract_feat)["gaussians"])
+    gaussians = jax.tree_util.tree_map(jnp.asarray,
+                                       extract(variables, batch))
+    render = jax.jit(lambda v, g, b: model.apply(
+        v, g, b, cfg.model.target_size,
         method=MVSDet.render_targets))
-    t_render = timed(render, gaussians, batch)
+    t_render = timed(render, variables, gaussians, batch)
     trace("render timed")
 
-    scenes_per_s = 1.0 / t_step
     sweep_views_per_s = n_src / t_sweep
     print(json.dumps({
-        "metric": "full_train_step_scenes_per_s",
-        "value": round(scenes_per_s, 3),
-        "unit": "scenes/s/chip",
-        "vs_baseline": round(scenes_per_s / A5000_BASELINE_SCENES_PER_S, 3),
+        "metric": "bench_phase_breakdown",
         "phases_ms": {
             "backbone_fpn": round(t_backbone * 1e3, 1),
             "sweep_costreg": round(t_sweep * 1e3, 1),
@@ -158,14 +175,7 @@ def main():
             "step_total": round(t_step * 1e3, 1),
         },
         "plane_sweep_views_per_s_per_chip": round(sweep_views_per_s, 2),
-        "workload": {"n_src_views": n_src, "n_targets": n_tgt,
-                     "image": list(cfg.model.image_size),
-                     "target": list(cfg.model.target_size),
-                     "dtype": "bfloat16"},
-        "baseline_note": "A5000 roofline estimate (~1 scene/s), not a "
-                         "measurement; the reference publishes no "
-                         "throughput (BASELINE.md)",
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -56,8 +56,12 @@ class GaussianSplatConfig:
     # XLA compositor (ops/splat.py)
     splat_impl: str = "tiled"
     # max gaussians composited per 16x16 tile on the tiled path; tiles
-    # overlapping more than this drop the farthest splats
-    splat_capacity: int = 1024
+    # overlapping more than this drop the farthest splats.  Chosen from
+    # the on-chip capacity sweep at G=28.8k surface-concentrated
+    # (experiments/splat_capacity_sweep_tpu.txt): 1024 truncates
+    # (max err 0.146 vs oracle), 2048 is error-plateau exact (5.1e-3,
+    # identical at 4096) for +20% renderer time (42->51 ms fwd)
+    splat_capacity: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,9 +12,9 @@ world, means = ray origin + dir * ray-depth.
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Tuple
 
+import flax.struct
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -27,9 +27,13 @@ from mvsdet_tpu.utils.precision import feinsum
 Dtype = Any
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class Gaussians:
-    """World-space Gaussian set (ref: gs_src/model/types.py:7)."""
+    """World-space Gaussian set (ref: gs_src/model/types.py:7).
+
+    Registered as a pytree (flax.struct) so it can cross jit
+    boundaries — plain dataclasses are invalid jit outputs.
+    """
 
     means: jnp.ndarray        # (..., 3)
     covariances: jnp.ndarray  # (..., 3, 3)

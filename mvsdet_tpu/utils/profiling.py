@@ -16,6 +16,37 @@ import jax
 import numpy as np
 
 
+def hard_sync(out):
+    """Synchronise on a computation's COMPLETION, not its dispatch.
+
+    On remote/async backends (axon tunneled TPU), `block_until_ready`
+    can return once the output buffer handles exist, long before the
+    step finishes — timings taken with it under-measure by 100x.  A
+    device->host fetch of one element has a data dependency on the full
+    computation and is a true barrier; the 4-byte transfer is noise.
+
+    Returns ``out`` unchanged (fetch side effect only).
+    """
+    import jax.numpy as jnp
+
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        np.asarray(jnp.ravel(leaves[0])[0])
+    return out
+
+
+def timed(fn, *args, iters: int = 5, warmup: int = 2) -> float:
+    """min-of-N wall time of ``fn(*args)`` with hard completion sync."""
+    for _ in range(warmup):
+        hard_sync(fn(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        hard_sync(fn(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax.profiler trace (view with TensorBoard/XProf)."""

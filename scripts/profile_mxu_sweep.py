@@ -2,7 +2,7 @@
 import time, numpy as np, jax, jax.numpy as jnp
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import build_inputs, N_VIEWS, N_PLANES, SWEEP_CHUNK, HEIGHT, WIDTH, CHANNELS
+from bench_inputs import build_inputs, N_VIEWS, N_PLANES, SWEEP_CHUNK, HEIGHT, WIDTH, CHANNELS
 from mvsdet_tpu.geometry.voxels import depth_plane_values
 from mvsdet_tpu.models.cost_reg import CostRegNet
 from mvsdet_tpu.ops.plane_sweep_mxu import plane_sweep_variance_mxu

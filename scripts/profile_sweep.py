@@ -2,7 +2,7 @@
 import time, numpy as np, jax, jax.numpy as jnp
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from bench import build_inputs, N_VIEWS, N_PLANES, HEIGHT, WIDTH, CHANNELS, SWEEP_CHUNK
+from bench_inputs import build_inputs, N_VIEWS, N_PLANES, HEIGHT, WIDTH, CHANNELS, SWEEP_CHUNK
 from mvsdet_tpu.geometry.voxels import depth_plane_values
 from mvsdet_tpu.models.cost_reg import CostRegNet
 from mvsdet_tpu.ops.plane_sweep import plane_sweep_variance_for_refs
@@ -14,10 +14,12 @@ net = CostRegNet(in_channels=CHANNELS, dtype=jnp.bfloat16)
 variables = net.init(jax.random.PRNGKey(0), jnp.zeros((1,N_PLANES,HEIGHT,WIDTH,CHANNELS), jnp.bfloat16))
 
 def timeit(name, f, *args):
-    r = f(*args); jax.block_until_ready(r)
+    from mvsdet_tpu.utils.profiling import hard_sync
+
+    hard_sync(f(*args))
     ts = []
     for _ in range(5):
-        t0 = time.perf_counter(); r = f(*args); jax.block_until_ready(r)
+        t0 = time.perf_counter(); hard_sync(f(*args))
         ts.append(time.perf_counter() - t0)
     print(f"{name}: {min(ts)*1000:.1f} ms", flush=True)
 

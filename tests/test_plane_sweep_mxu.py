@@ -1,4 +1,12 @@
-"""Validation of the MXU two-pass plane-sweep warp against the gather path."""
+"""Validation of the MXU two-pass plane-sweep warp against the gather path.
+
+Full-scale on-chip evidence (real backbone features, 40 views, 60x80,
+D=12, scripts/compare_sweep_paths.py on TPU v5e, committed at
+experiments/sweep_gather_vs_mxu_tpu.txt): top-1 plane agreement 0.9956,
+prob correlation 0.99999, top-k depth-set match 0.996 @ 4 cm,
+depth-expectation RMSE 1.4 mm — the loose tiny-scale gates below are
+far inside the real margins.
+"""
 
 import numpy as np
 import pytest
