@@ -37,7 +37,8 @@ A5000_BASELINE_SCENES_PER_S = 1.0
 
 WARMUP = 2
 ITERS = 5
-SWEEP_CHUNK = 8
+# views per sweep+costreg scan step; overridable for chunk-size sweeps
+SWEEP_CHUNK = int(os.environ.get("BENCH_SWEEP_CHUNK", "8"))
 
 
 def trace(msg):
