@@ -126,6 +126,10 @@ class ModelConfig:
         (3.7, 3.7, 1.78),
     )
     topk: int = 3                        # top-k depth hypotheses for lifting
+    # voxel-lift gather backend: "xla" scan-gather (measured faster:
+    # 35.5 vs 58.4 ms fwd at ScanNet scale on v5e,
+    # experiments/lift_profile_tpu.txt) or "pallas" MXU one-hot kernel
+    lift_impl: str = "xla"
     plane_sweep_neighbors: int = 2       # k in knn neighbour selection (mvsdet.py:432)
     rgb_supervision: bool = True
     depth_supervision: bool = False

@@ -49,7 +49,9 @@ from mvsdet_tpu.ops.plane_sweep_mxu import plane_sweep_variance_mxu
 from mvsdet_tpu.ops.sampling import bilinear_resize
 from mvsdet_tpu.ops.splat import render_view
 from mvsdet_tpu.ops.splat_tiles import render_view_tiled
-from mvsdet_tpu.ops.voxel_lift import finalize_volume, lift_features_to_voxels
+from mvsdet_tpu.ops.voxel_lift import (finalize_volume,
+                                       lift_features_to_voxels,
+                                       lift_features_to_voxels_pallas)
 
 Dtype = Any
 
@@ -300,17 +302,19 @@ class MVSDet(nn.Module):
 
         points = voxel_points(mc.n_voxels, mc.voxel_size,
                               batch["origin"]).reshape(3, -1).T  # (V, 3)
+        lift_fn = (lift_features_to_voxels_pallas
+                   if mc.lift_impl == "pallas" else lift_features_to_voxels)
         if view_axis is not None:
             # each shard lifts its own views; voxel volume + view counts
             # reduce over ICI (the reference's volume.sum(dim=0),
             # mvsdet.py:511-513, as a psum)
-            vol_sum, valid_cnt = lift_features_to_voxels(
+            vol_sum, valid_cnt = lift_fn(
                 feats32[ref_ids], proj34[ref_ids], est_depth[ref_ids],
                 est_prob[ref_ids], points, mc.voxel_size[2])
             vol_sum = jax.lax.psum(vol_sum, view_axis)
             valid_cnt = jax.lax.psum(valid_cnt, view_axis)
         else:
-            vol_sum, valid_cnt = lift_features_to_voxels(
+            vol_sum, valid_cnt = lift_fn(
                 feats32, proj34, est_depth, est_prob, points,
                 mc.voxel_size[2])
         volume = finalize_volume(vol_sum, valid_cnt)          # (V, C)

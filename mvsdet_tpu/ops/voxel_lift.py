@@ -29,6 +29,37 @@ import jax.numpy as jnp
 from mvsdet_tpu.utils.precision import feinsum
 
 
+def _pixel_weights(projection: jnp.ndarray, est_depth: jnp.ndarray,
+                   prob_norm: jnp.ndarray, points: jnp.ndarray,
+                   voxel_size_z: float, h: int, w: int):
+    """One view's (pix, weight, valid) per voxel — everything except the
+    (V, C) feature gather (which the Pallas path moves onto the MXU).
+
+    Returns:
+      pix: (V,) int32 flat clipped pixel index.
+      weight: (V,) max in-window hypothesis probability (0 if invalid).
+      valid: (V,) bool.
+    """
+    homo = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
+    p = feinsum("ij,vj->vi", projection, homo)                # (V, 3)
+    z = p[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    x = jnp.round(p[:, 0] / z_safe).astype(jnp.int32)
+    y = jnp.round(p[:, 1] / z_safe).astype(jnp.int32)
+    valid0 = (x >= 0) & (y >= 0) & (x < w) & (y < h) & (z > 0)
+
+    pix = jnp.clip(y, 0, h - 1) * w + jnp.clip(x, 0, w - 1)   # (V,)
+    d_k = jnp.take(est_depth.reshape(h * w, -1), pix, axis=0)  # (V, K)
+    p_k = jnp.take(prob_norm.reshape(h * w, -1), pix, axis=0)  # (V, K)
+
+    window = (valid0[:, None]
+              & (z[:, None] > d_k - voxel_size_z)
+              & (z[:, None] < d_k + voxel_size_z))            # (V, K)
+    valid = jnp.any(window, axis=1)
+    weight = jnp.max(jnp.where(window, p_k, 0.0), axis=1)     # (V,)
+    return pix, weight, valid
+
+
 def _lift_single_view(feat: jnp.ndarray, projection: jnp.ndarray,
                       est_depth: jnp.ndarray, prob_norm: jnp.ndarray,
                       points: jnp.ndarray, voxel_size_z: float):
@@ -47,26 +78,8 @@ def _lift_single_view(feat: jnp.ndarray, projection: jnp.ndarray,
       valid: (V,) bool — in-frustum and inside some depth window.
     """
     h, w, c = feat.shape
-    homo = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
-    p = feinsum("ij,vj->vi", projection, homo)                # (V, 3)
-    z = p[:, 2]
-    z_safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
-    x = jnp.round(p[:, 0] / z_safe).astype(jnp.int32)
-    y = jnp.round(p[:, 1] / z_safe).astype(jnp.int32)
-    valid0 = (x >= 0) & (y >= 0) & (x < w) & (y < h) & (z > 0)
-
-    pix = jnp.clip(y, 0, h - 1) * w + jnp.clip(x, 0, w - 1)   # (V,)
-    depth_flat = est_depth.reshape(h * w, -1)
-    prob_flat = prob_norm.reshape(h * w, -1)
-    d_k = jnp.take(depth_flat, pix, axis=0)                   # (V, K)
-    p_k = jnp.take(prob_flat, pix, axis=0)                    # (V, K)
-
-    window = (valid0[:, None]
-              & (z[:, None] > d_k - voxel_size_z)
-              & (z[:, None] < d_k + voxel_size_z))            # (V, K)
-    valid = jnp.any(window, axis=1)
-    weight = jnp.max(jnp.where(window, p_k, 0.0), axis=1)     # (V,)
-
+    pix, weight, valid = _pixel_weights(projection, est_depth, prob_norm,
+                                        points, voxel_size_z, h, w)
     feat_flat = feat.reshape(h * w, c)
     gathered = jnp.take(feat_flat, pix, axis=0)               # (V, C)
     contrib = gathered * weight[:, None]
@@ -119,7 +132,9 @@ def lift_features_to_voxels(
         contrib, valid = _lift_single_view(feat, proj, d, p, points,
                                            voxel_size_z)
         mf = m.astype(vol.dtype)
-        vol = vol + contrib * mf
+        # contrib promotes to f32 via the prob weights; keep the carry
+        # in the feature dtype (bf16-safe)
+        vol = vol + contrib.astype(vol.dtype) * mf
         cnt = cnt + valid.astype(cnt.dtype) * mf
         return (vol, cnt), None
 
@@ -127,6 +142,37 @@ def lift_features_to_voxels(
     (vol, cnt), _ = jax.lax.scan(
         body, init, (features, projections, est_depth, prob_norm, view_mask))
     return vol, cnt
+
+
+def lift_features_to_voxels_pallas(
+    features: jnp.ndarray,
+    projections: jnp.ndarray,
+    est_depth: jnp.ndarray,
+    est_prob: jnp.ndarray,
+    points: jnp.ndarray,
+    voxel_size_z: float,
+    view_mask: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Same contract as `lift_features_to_voxels`, with the (V, C)
+    feature gather fused into the Pallas MXU one-hot kernel
+    (ops/pallas/lift_kernel.py).  The per-view projection / z-window /
+    weight math stays in XLA (small tensors) and remains differentiable
+    to est_prob through the kernel's custom VJP.
+    """
+    from mvsdet_tpu.ops.pallas.lift_kernel import weighted_gather_sum
+
+    n, h, w, c = features.shape
+    prob_norm = est_prob / (jnp.sum(est_prob, axis=-1, keepdims=True) + 1e-12)
+    pix, weight, valid = jax.vmap(
+        _pixel_weights, in_axes=(0, 0, 0, None, None, None, None)
+    )(projections, est_depth, prob_norm, points, voxel_size_z, h, w)
+    if view_mask is not None:
+        mf = view_mask.astype(weight.dtype)[:, None]
+        weight = weight * mf
+        valid = valid & view_mask[:, None]
+    vol = weighted_gather_sum(features.reshape(n, h * w, c), pix, weight)
+    cnt = jnp.sum(valid.astype(jnp.float32), axis=0)
+    return vol.astype(features.dtype), cnt
 
 
 def lift_diagnostics(

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Voxel-lift benchmark: XLA scan-gather vs Pallas MXU one-hot kernel.
+
+ScanNet scale (SURVEY §6): 40 views, (60, 80, 256) features, top-3
+depths, 40x40x16 = 25,600 voxels.  Forward and forward+backward (grads
+to features and probabilities), hard-synced.
+
+Usage: python scripts/profile_lift.py [--views 40]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--views", type=int, default=40)
+    p.add_argument("--dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvsdet_tpu.config import scannet_config
+    from mvsdet_tpu.data.synthetic import make_synthetic_scene
+    from mvsdet_tpu.geometry.cameras import full_projection, scale_intrinsics
+    from mvsdet_tpu.geometry.voxels import voxel_points
+    from mvsdet_tpu.ops import voxel_lift
+    from mvsdet_tpu.utils.profiling import timed
+
+    print("backend:", jax.devices()[0].platform, flush=True)
+    cfg = scannet_config()
+    dtype = getattr(jnp, args.dtype)
+    n = args.views
+    h, w = cfg.model.feature_size
+    c = cfg.model.backbone.fpn_out_channels
+    k = cfg.model.topk
+
+    scene = make_synthetic_scene(cfg, seed=0, n_views=n, n_targets=1)
+    feat_k = scale_intrinsics(jnp.asarray(scene["intrinsic"]),
+                              float(cfg.model.feature_stride))
+    proj = full_projection(jnp.asarray(scene["w2c"]), feat_k)[:, :3, :4]
+    points = voxel_points(cfg.model.n_voxels, cfg.model.voxel_size,
+                          jnp.asarray(scene["origin"])).reshape(3, -1).T
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((n, h, w, c)), dtype)
+    est_depth = jnp.asarray(rng.uniform(0.3, 4.5, (n, h, w, k)), jnp.float32)
+    est_prob = jnp.asarray(rng.uniform(0, 1, (n, h, w, k)), jnp.float32)
+    vz = float(cfg.model.voxel_size[2])
+
+    impls = {"xla": voxel_lift.lift_features_to_voxels,
+             "pallas": voxel_lift.lift_features_to_voxels_pallas}
+    for name, fn in impls.items():
+        fwd = jax.jit(lambda f, d, p, _fn=fn: _fn(f, proj, d, p, points, vz))
+        t = timed(fwd, feats, est_depth, est_prob)
+        print(f"{name:7s} fwd    : {t * 1e3:8.2f} ms", flush=True)
+
+        def loss(f, pr, _fn=fn):
+            vol, cnt = _fn(f, proj, est_depth, pr, points, vz)
+            return jnp.sum(voxel_lift.finalize_volume(vol, cnt)
+                           .astype(jnp.float32) ** 2)
+
+        bwd = jax.jit(jax.grad(loss, argnums=(0, 1)))
+        t = timed(bwd, feats, est_prob)
+        print(f"{name:7s} fwd+bwd: {t * 1e3:8.2f} ms", flush=True)
+
+    out_x = jax.jit(lambda: impls["xla"](feats, proj, est_depth, est_prob,
+                                         points, vz))()
+    out_p = jax.jit(lambda: impls["pallas"](feats, proj, est_depth, est_prob,
+                                            points, vz))()
+    err = float(jnp.max(jnp.abs(out_x[0].astype(jnp.float32)
+                                - out_p[0].astype(jnp.float32))))
+    print(f"pallas-vs-xla max abs err: {err:.2e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
