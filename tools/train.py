@@ -206,16 +206,23 @@ def main():
             return [val_pipeline(s, np.random.RandomState(args.seed + i))
                     for i, s in enumerate(val_infos)]
 
+    # one jitted predict core reused across every epoch eval — building
+    # a fresh jax.jit closure per eval would recompile (~minutes on a
+    # tunneled TPU) each epoch
+    from mvsdet_tpu.models.mvsdet import MVSDet
+
+    @jax.jit
+    def predict_core(variables, batch):
+        return model.apply(variables, batch, False, method=MVSDet.predict)
+
     def run_eval(state):
-        from mvsdet_tpu.evaluation.harness import (evaluate_scenes,
-                                                   make_predict_fn)
+        from mvsdet_tpu.evaluation.harness import evaluate_scenes
 
         scenes = val_scenes if val_scenes is not None else val_scenes_fn()
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats,
                      "frozen": state.frozen}
-        predict = make_predict_fn(model, variables)
-        return evaluate_scenes(predict, scenes,
+        return evaluate_scenes(lambda b: predict_core(variables, b), scenes,
                                num_classes=cfg.model.head.n_classes)
 
     do_eval = bool(args.val_synthetic or args.val_infos)
