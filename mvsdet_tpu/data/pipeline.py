@@ -68,6 +68,9 @@ def sample_views_gap(rng: np.random.RandomState, n_total: int,
     used = src_used + target_ids
     pool = np.setdiff1d(ids, np.asarray(used))
     n_rest = n_images - len(used)
+    if n_rest < 0:
+        # n_images too small to host the 4 anchor sources + targets
+        return sample_views_random(rng, n_total, n_images, n_targets)
     replace = n_rest > len(pool)
     rest = rng.choice(pool, n_rest, replace=replace)
     src = np.concatenate([rest, np.asarray(src_used)])
