@@ -369,10 +369,15 @@ def head_loss_rotated(head_outs, points_per_level, valid_per_level,
     loss for yaw boxes.
 
     Deviation (documented): the reference's RotatedIoU3DLoss wraps
-    mmcv's CUDA `diff_iou_rotated_3d`; here the box term is the smooth-L1
-    distance between the 8 corners of predicted vs target boxes (an
-    established differentiable surrogate with the same minimiser),
-    centerness-weighted like the reference.
+    mmcv's CUDA `diff_iou_rotated_3d`; here the box term is a decoupled
+    smooth-L1 over (target-frame centre error / target size, log size
+    ratio, sin/1-cos of the yaw difference), centerness-weighted like
+    the reference.  NB deliberately NOT the corner-distance surrogate:
+    with a mis-rotated box the corner loss is reduced by shrinking the
+    box, and training collapses all sizes to ~0 (observed: overfit
+    mAP stuck at 0 with predicted dx,dy ~ 1e-5).  The decoupled form's
+    unique minimiser is the target box (mod 2-pi yaw), so sizes cannot
+    collapse.
     """
     center = jnp.concatenate([o[0][:, 0] for o in head_outs])
     reg = jnp.concatenate([o[1] for o in head_outs])
@@ -402,8 +407,13 @@ def head_loss_rotated(head_outs, points_per_level, valid_per_level,
     center_loss = jnp.sum(jnp.where(pos, bce, 0.0)) / n_pos
 
     pred7 = decode_bbox_rotated(points, reg)
-    diff = box7_corners(pred7) - box7_corners(box_t)          # (P, 8, 3)
-    dist = jnp.linalg.norm(diff, axis=-1)
+    size_t = jnp.maximum(box_t[:, 3:6], 1e-4)
+    d_center = rotate_z(pred7[:, :3] - box_t[:, :3], -box_t[:, 6]) / size_t
+    e_size = jnp.log(jnp.maximum(pred7[:, 3:6], 1e-4) / size_t)
+    dyaw = pred7[:, 6] - box_t[:, 6]
+    e_yaw = jnp.stack([jnp.sin(dyaw), 1.0 - jnp.cos(dyaw)], axis=-1)
+    err = jnp.concatenate([d_center, e_size, e_yaw], axis=-1)  # (P, 8)
+    dist = jnp.abs(err)
     beta = 1.0
     smooth = jnp.where(dist < beta, 0.5 * dist**2 / beta, dist - 0.5 * beta)
     per_point = jnp.mean(smooth, axis=-1)

@@ -27,25 +27,30 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def overfit_config(lr: float = 1e-3):
+def overfit_config(lr: float = 1e-3, arkit: bool = False):
     """Tiny-shapes config whose voxel grid covers the synthetic scene.
 
     tiny_test_config's 8x8x4 @0.16 m grid (1.28 m extent) misses the
     +-1.2 m sphere layout; 16x16x8 @0.2 m (3.2 x 3.2 x 1.6 m about
-    origin z=0.5) contains every box.
+    origin z=0.5) contains every box.  With ``arkit`` the head becomes
+    the 7-dim yaw head (rotated targets/NMS/eval end to end).
     """
     from mvsdet_tpu.config import tiny_test_config
 
     base = tiny_test_config()
+    head = base.model.head
+    if arkit:
+        head = dataclasses.replace(head, n_reg_outs=7, with_yaw=True)
     model = dataclasses.replace(
-        base.model, n_voxels=(16, 16, 8), voxel_size=(0.2, 0.2, 0.2))
+        base.model, n_voxels=(16, 16, 8), voxel_size=(0.2, 0.2, 0.2),
+        head=head)
     optim = dataclasses.replace(base.optim, lr=lr,
                                 milestones=(10_000,))
     return dataclasses.replace(base, model=model, optim=optim)
 
 
 def run(steps: int, eval_every: int, n_scenes: int, lr: float, seed: int,
-        log_fn=print):
+        log_fn=print, arkit: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -56,9 +61,9 @@ def run(steps: int, eval_every: int, n_scenes: int, lr: float, seed: int,
     from mvsdet_tpu.training.loop import (create_train_state,
                                           make_jitted_train_step)
 
-    cfg = overfit_config(lr=lr)
+    cfg = overfit_config(lr=lr, arkit=arkit)
     scenes = [make_synthetic_scene(cfg, seed=seed + s, n_views=4,
-                                   n_targets=2)
+                                   n_targets=2, arkit=arkit)
               for s in range(n_scenes)]
     batches = [{k: jnp.asarray(v) for k, v in s.items()} for s in scenes]
 
@@ -108,6 +113,9 @@ def main():
     p.add_argument("--scenes", type=int, default=2)
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--arkit", action="store_true",
+                   help="7-dim yaw head + per-view intrinsics + "
+                        "rotated-IoU eval")
     p.add_argument("--out", default=None,
                    help="also append JSONL records to <out>/overfit_log.jsonl")
     args = p.parse_args()
@@ -124,7 +132,7 @@ def main():
             sink.flush()
 
     history = run(args.steps, args.eval_every, args.scenes, args.lr,
-                  args.seed, log_fn=log)
+                  args.seed, log_fn=log, arkit=args.arkit)
     first, last = history[0], history[-1]
     log(json.dumps({"summary": {"first_mAP_0.25": first["mAP_0.25"],
                                 "last_mAP_0.25": last["mAP_0.25"]}}))
