@@ -100,8 +100,19 @@ def rotated_iou_numpy(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     vb = np.clip(b[:, 3:6], 0, None).prod(-1)
     az = np.stack([a[:, 2] - a[:, 5] / 2, a[:, 2] + a[:, 5] / 2], -1)
     bz = np.stack([b[:, 2] - b[:, 5] / 2, b[:, 2] + b[:, 5] / 2], -1)
+    # BEV circumscribed-circle pre-filter: pairs whose centre distance
+    # exceeds the sum of half-diagonals cannot overlap — skip the O(1)
+    # but python-slow polygon clip for them (the common case at eval
+    # scale, max_detections x GT x classes x scenes pairs).
+    half_diag_a = 0.5 * np.hypot(a[:, 3], a[:, 4])
+    half_diag_b = 0.5 * np.hypot(b[:, 3], b[:, 4])
+    center_dist = np.hypot(a[:, None, 0] - b[None, :, 0],
+                           a[:, None, 1] - b[None, :, 1])
+    may_overlap = center_dist <= half_diag_a[:, None] + half_diag_b[None, :]
     for i in range(m):
         for j in range(n):
+            if not may_overlap[i, j]:
+                continue
             zint = min(az[i, 1], bz[j, 1]) - max(az[i, 0], bz[j, 0])
             if zint <= 0:
                 continue

@@ -365,19 +365,19 @@ def assign_targets_rotated(points: jnp.ndarray, scales: jnp.ndarray,
 def head_loss_rotated(head_outs, points_per_level, valid_per_level,
                       gt_boxes7, gt_labels, gt_mask, cfg: HeadConfig,
                       axis_name: Optional[str] = None):
-    """ARKit-head loss: focal cls + BCE centerness + corner-distance box
-    loss for yaw boxes.
+    """ARKit-head loss: focal cls + BCE centerness + a rotated box loss.
 
-    Deviation (documented): the reference's RotatedIoU3DLoss wraps
-    mmcv's CUDA `diff_iou_rotated_3d`; here the box term is a decoupled
-    smooth-L1 over (target-frame centre error / target size, log size
-    ratio, sin/1-cos of the yaw difference), centerness-weighted like
-    the reference.  NB deliberately NOT the corner-distance surrogate:
-    with a mis-rotated box the corner loss is reduced by shrinking the
-    box, and training collapses all sizes to ~0 (observed: overfit
-    mAP stuck at 0 with predicted dx,dy ~ 1e-5).  The decoupled form's
-    unique minimiser is the target box (mod 2-pi yaw), so sizes cannot
-    collapse.
+    Box-loss modes (cfg.rotated_bbox_loss):
+      - "rotated_iou" (default): 1 - soft sampled rotated 3D IoU
+        (ops/nms.py `rotated_iou_3d_soft_pairs`), centerness-weighted —
+        the analogue of the reference's `RotatedIoU3DLoss`
+        (nerfdet_head.py:71,647, mmcv `diff_iou_rotated_3d`).
+      - "decoupled": smooth-L1 over (target-frame centre error / target
+        size, log size ratio, sin/1-cos of the yaw difference).
+    Neither is the corner-distance surrogate: with a mis-rotated box
+    the corner loss is reduced by shrinking the box, and training
+    collapses all sizes to ~0 (observed: overfit mAP stuck at 0 with
+    predicted dx,dy ~ 1e-5).
     """
     center = jnp.concatenate([o[0][:, 0] for o in head_outs])
     reg = jnp.concatenate([o[1] for o in head_outs])
@@ -407,16 +407,24 @@ def head_loss_rotated(head_outs, points_per_level, valid_per_level,
     center_loss = jnp.sum(jnp.where(pos, bce, 0.0)) / n_pos
 
     pred7 = decode_bbox_rotated(points, reg)
-    size_t = jnp.maximum(box_t[:, 3:6], 1e-4)
-    d_center = rotate_z(pred7[:, :3] - box_t[:, :3], -box_t[:, 6]) / size_t
-    e_size = jnp.log(jnp.maximum(pred7[:, 3:6], 1e-4) / size_t)
-    dyaw = pred7[:, 6] - box_t[:, 6]
-    e_yaw = jnp.stack([jnp.sin(dyaw), 1.0 - jnp.cos(dyaw)], axis=-1)
-    err = jnp.concatenate([d_center, e_size, e_yaw], axis=-1)  # (P, 8)
-    dist = jnp.abs(err)
-    beta = 1.0
-    smooth = jnp.where(dist < beta, 0.5 * dist**2 / beta, dist - 0.5 * beta)
-    per_point = jnp.mean(smooth, axis=-1)
+    if cfg.rotated_bbox_loss == "rotated_iou":
+        from mvsdet_tpu.ops.nms import rotated_iou_3d_soft_pairs
+        per_point = 1.0 - rotated_iou_3d_soft_pairs(pred7, box_t)
+    elif cfg.rotated_bbox_loss == "decoupled":
+        size_t = jnp.maximum(box_t[:, 3:6], 1e-4)
+        d_center = rotate_z(pred7[:, :3] - box_t[:, :3], -box_t[:, 6]) / size_t
+        e_size = jnp.log(jnp.maximum(pred7[:, 3:6], 1e-4) / size_t)
+        dyaw = pred7[:, 6] - box_t[:, 6]
+        e_yaw = jnp.stack([jnp.sin(dyaw), 1.0 - jnp.cos(dyaw)], axis=-1)
+        err = jnp.concatenate([d_center, e_size, e_yaw], axis=-1)  # (P, 8)
+        dist = jnp.abs(err)
+        beta = 1.0
+        smooth = jnp.where(dist < beta, 0.5 * dist**2 / beta,
+                           dist - 0.5 * beta)
+        per_point = jnp.mean(smooth, axis=-1)
+    else:
+        raise ValueError(
+            f"unknown rotated_bbox_loss {cfg.rotated_bbox_loss!r}")
     w = jnp.where(pos, cness_t, 0.0)
     bbox_loss = jnp.sum(per_point * w) / jnp.maximum(jnp.sum(w), 1e-6)
 

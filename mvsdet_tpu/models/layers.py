@@ -89,7 +89,12 @@ class ConvBnReLU(nn.Module):
             else self.kernel
         strides = (self.strides,) * self.dims if isinstance(self.strides, int) \
             else self.strides
-        x = nn.Conv(self.features, kernel, strides, padding="SAME",
+        # Explicit symmetric k//2 padding == torch Conv(padding=k//2).  For
+        # stride 1 this equals SAME; for stride 2 on even extents SAME pads
+        # (0, 1) while torch pads (1, 1) — a one-sample phase shift that
+        # would break exact parity with the reference weights.
+        pads = tuple((k // 2, k // 2) for k in kernel)
+        x = nn.Conv(self.features, kernel, strides, padding=pads,
                     use_bias=False, dtype=self.dtype)(x)
         x = _norm_layer(self.norm, self.dtype, train)(x)
         if self.relu:
@@ -113,8 +118,16 @@ class DeconvBnReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # Torch ConvTranspose(k, s=2, p=(k-1)//2, output_padding=2p-k+2)
+        # (exact 2x upsample: mvsnet.py:92-100 k=3 p=1 op=1; imvoxel_neck
+        # k=2 p=0 op=0) lowers to lax.conv_transpose padding
+        # (k-1-p, k-1-p+op).  SAME keeps the size but shifts the phase by
+        # one sample, breaking exact parity with reference weights.
+        p = (self.kernel - 1) // 2
+        op = 2 * p - self.kernel + 2
+        pads = ((self.kernel - 1 - p, self.kernel - 1 - p + op),) * self.dims
         x = nn.ConvTranspose(self.features, (self.kernel,) * self.dims,
-                             strides=(2,) * self.dims, padding="SAME",
+                             strides=(2,) * self.dims, padding=pads,
                              use_bias=False, dtype=self.dtype)(x)
         x = _norm_layer(self.norm, self.dtype, train)(x)
         if self.relu:

@@ -41,6 +41,9 @@ def _round_up(x: int, m: int) -> int:
 def _fwd_kernel(pix_ref, w_ref, feat_ref, out_ref):
     n = pl.program_id(1)
 
+    # Zero-init + `+=` revisit-accumulation relies on TPU Pallas
+    # iterating the LAST grid axis innermost (minor-to-major sequential
+    # order); reordering the grid would silently break the accumulation.
     @pl.when(n == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from mvsdet_tpu.utils.precision import feinsum
 
-from mvsdet_tpu.ops.sampling import bilinear_sample
+from mvsdet_tpu.ops.sampling import bilinear_sample, torch_grid_sample_skew
 
 
 def homography_coords(rel_proj: jnp.ndarray, depth_values: jnp.ndarray,
@@ -59,7 +59,8 @@ def homography_coords(rel_proj: jnp.ndarray, depth_values: jnp.ndarray,
 
 
 def homography_warp(src_feat: jnp.ndarray, rel_proj: jnp.ndarray,
-                    depth_values: jnp.ndarray) -> jnp.ndarray:
+                    depth_values: jnp.ndarray,
+                    torch_compat: bool = False) -> jnp.ndarray:
     """Warp one source feature map onto the ref view's depth planes.
 
     Equivalent to `homo_warping` (module.py:105-146) for a single
@@ -69,12 +70,17 @@ def homography_warp(src_feat: jnp.ndarray, rel_proj: jnp.ndarray,
       src_feat: (H, W, C) source-view features.
       rel_proj: (4, 4) src_proj @ inv(ref_proj).
       depth_values: (D,).
+      torch_compat: reproduce the reference's align_corners skew exactly
+        (see `torch_grid_sample_skew`); default samples at the corrected
+        pixel coordinates.
 
     Returns:
       (D, H, W, C) warped volume (zeros outside the source image).
     """
     h, w, _ = src_feat.shape
     coords = homography_coords(rel_proj, depth_values, h, w)
+    if torch_compat:
+        coords = torch_grid_sample_skew(coords, h, w)
     return bilinear_sample(src_feat, coords)
 
 

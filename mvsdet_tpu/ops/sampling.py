@@ -19,6 +19,29 @@ import jax
 import jax.numpy as jnp
 
 
+def torch_grid_sample_skew(coords: jnp.ndarray, height: int,
+                           width: int) -> jnp.ndarray:
+    """Map intended pixel coords to the ones torch grid_sample actually taps.
+
+    The reference normalises by (size-1)/2 (align_corners=True convention,
+    module.py:137-138) but samples with the torch default
+    align_corners=False, so a coordinate p is really fetched at
+    p*size/(size-1) - 0.5.  Applying this skew to our corrected
+    coordinates reproduces the reference bit-for-bit; used by the
+    torch-golden parity tests (tests/test_torch_parity.py).
+
+    Args:
+      coords: (..., 2) intended (x, y) pixel coordinates.
+      height, width: source image size.
+
+    Returns:
+      (..., 2) coordinates matching torch's effective tap positions.
+    """
+    x = coords[..., 0] * (width / (width - 1)) - 0.5
+    y = coords[..., 1] * (height / (height - 1)) - 0.5
+    return jnp.stack([x, y], axis=-1)
+
+
 def bilinear_sample(image: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Bilinearly sample a channels-last image at pixel coordinates.
 

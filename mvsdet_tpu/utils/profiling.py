@@ -25,13 +25,22 @@ def hard_sync(out):
     device->host fetch of one element has a data dependency on the full
     computation and is a true barrier; the 4-byte transfer is noise.
 
+    Synchronises on EVERY leaf (a composite fn's outputs may come from
+    several separately-dispatched executables) with a SINGLE host fetch:
+    one element per leaf is stacked into a tiny device array whose fetch
+    data-depends on all of them.  Per-leaf host fetches would instead pay
+    one tunnel round trip per leaf — hundreds of ms on a train-state
+    tree over the axon tunnel.
+
     Returns ``out`` unchanged (fetch side effect only).
     """
     import jax.numpy as jnp
 
     leaves = jax.tree_util.tree_leaves(out)
     if leaves:
-        np.asarray(jnp.ravel(leaves[0])[0])
+        probe = jnp.stack(
+            [jnp.ravel(leaf)[0].astype(jnp.float32) for leaf in leaves])
+        np.asarray(probe)
     return out
 
 
