@@ -92,6 +92,13 @@ class HeadConfig:
     focal_alpha: float = 0.25
     # static bound on GT boxes per scene for fixed-shape target assignment
     max_boxes: int = 64
+    # ARKit yaw-box regression loss: "rotated_iou" = 1 - soft sampled
+    # rotated 3D IoU (the reference's RotatedIoU3DLoss analogue,
+    # nerfdet_head.py:71,647; ours: ops/nms.py rotated_iou_3d_soft_pairs),
+    # "decoupled" = centre/log-size/sin-cos-yaw smooth-L1.  A/B at
+    # overfit scale (experiments/rotated_loss_ab.md): both reach
+    # mAP 1.0 plateau; rotated_iou is the reference-faithful default.
+    rotated_bbox_loss: str = "rotated_iou"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,6 +133,14 @@ class ModelConfig:
         (3.7, 3.7, 1.78),
     )
     topk: int = 3                        # top-k depth hypotheses for lifting
+    # CostRegNet normalisation: "group" (flagship; scan-safe and
+    # batch-size independent — the reference's own GN variant,
+    # mvs_models/mvsnet.py:116) or "batch" (the reference flagship's
+    # BatchNorm3d, mvsnet.py:73-113 — exact-parity mode, validated
+    # against the reference net in tests/test_torch_parity.py; under the
+    # chunked scan its train-mode stats are per-chunk).  A/B at overfit
+    # scale: experiments/costreg_norm_ab.md
+    cost_reg_norm: str = "group"
     # voxel-lift gather backend: "xla" scan-gather (measured faster:
     # 35.5 vs 58.4 ms fwd at ScanNet scale on v5e,
     # experiments/lift_profile_tpu.txt) or "pallas" MXU one-hot kernel
@@ -232,9 +247,10 @@ def arkit_config() -> Config:
     Reference: projects/NeRF-Det/configs/mvsdet_arkit_base.py +
     mvsdet_arkit.py — 17 classes (:71-76), 7 reg outs / rotated boxes,
     near_far [0.5, 5.5] (mvsdet_arkit.py:15), 42 train / 101 test views
-    with 2/1 targets (:91,101,114,124), 'random' loading (base :123),
-    RepeatDataset x2 (base :156), per-view intrinsics paths
-    (mvsdet.py:421-428).  ARKit lowres captures are 192x256.
+    with 2/1 targets (:91,101,114,124), 'gap' loading (the flagship
+    mvsdet_arkit.py:102 overrides the base's 'random'), RepeatDataset x2
+    (base :156), per-view intrinsics paths (mvsdet.py:421-428).  ARKit
+    lowres captures are 192x256.
     """
     base = Config()
     return dataclasses.replace(
@@ -249,7 +265,7 @@ def arkit_config() -> Config:
             base.data,
             n_views_train=42, n_views_test=101,
             nerf_target_views_train=2, nerf_target_views_test=1,
-            loading_train="random", repeat=2,
+            loading_train="gap", repeat=2,
             classes=ARKIT_CLASSES,
         ),
     )

@@ -61,3 +61,17 @@ class TestArkitModel:
                                   num_classes=cfg.model.head.n_classes)
         assert np.isfinite(results["mAP_0.25"])
         assert np.isfinite(results["mAP_0.50"])
+
+
+def test_flagship_arkit_preset_fidelity():
+    """The flagship ARKit config trains with 'gap' view sampling
+    (ref: configs/mvsdet_arkit.py:102 overrides the base's 'random');
+    round-3 VERDICT weak-4 regression guard."""
+    from mvsdet_tpu.config import arkit_config
+
+    cfg = arkit_config()
+    assert cfg.data.loading_train == "gap"
+    assert cfg.data.repeat == 2
+    assert cfg.data.n_views_train == 42
+    assert cfg.data.nerf_target_views_train == 2
+    assert cfg.model.head.n_reg_outs == 7 and cfg.model.head.with_yaw

@@ -1,6 +1,7 @@
 """Golden tests for the compute ops against naive numpy re-derivations
 of the reference semantics (mvsdet.py / module.py / nerfdet_head.py)."""
 
+import jax
 import numpy as np
 
 import jax.numpy as jnp
@@ -269,3 +270,70 @@ class TestRotatedIoU:
         iou = float(nms_ops.rotated_iou_bev_sampled(b1, b2, grid=64)[0, 0])
         # overlap 1x1 = 1; union 4+4-1 = 7
         assert abs(iou - 1 / 7) < 0.03
+
+
+class TestSoftRotatedIoU:
+    """The differentiable training IoU (rotated_iou_3d_soft_pairs)."""
+
+    def test_tracks_hard_iou(self):
+        rng = np.random.default_rng(3)
+        p = np.concatenate([rng.uniform(-1, 1, (16, 3)),
+                            rng.uniform(0.5, 2, (16, 3)),
+                            rng.uniform(-np.pi, np.pi, (16, 1))],
+                           -1).astype(np.float32)
+        t = p + np.concatenate([rng.normal(0, 0.15, (16, 3)),
+                                rng.normal(0, 0.1, (16, 3)),
+                                rng.normal(0, 0.2, (16, 1))],
+                               -1).astype(np.float32)
+        t[:, 3:6] = np.clip(t[:, 3:6], 0.2, None)
+        soft = np.asarray(nms_ops.rotated_iou_3d_soft_pairs(
+            jnp.asarray(p), jnp.asarray(t), grid=32))
+        hard = np.asarray(nms_ops.rotated_iou_bev_sampled(
+            jnp.asarray(p), jnp.asarray(t), grid=32)).diagonal()
+        np.testing.assert_allclose(soft, hard, atol=0.12)
+
+    def test_identical_boxes_is_argmax(self):
+        """Soft self-IoU < 1 (the sigmoid boundary band shaves ~10% of
+        the sample mass) but no perturbed box may score higher — the
+        loss minimum must sit at exact alignment."""
+        b = jnp.asarray([[0.3, -0.2, 0.1, 1.5, 0.8, 1.1, 0.6]])
+        self_iou = float(nms_ops.rotated_iou_3d_soft_pairs(b, b, grid=32)[0])
+        assert self_iou > 0.7
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            pert = b + jnp.asarray(
+                np.concatenate([rng.normal(0, 0.1, 3),
+                                rng.normal(0, 0.1, 3),
+                                rng.normal(0, 0.2, 1)]), jnp.float32)
+            iou = float(nms_ops.rotated_iou_3d_soft_pairs(pert, b,
+                                                          grid=32)[0])
+            assert iou <= self_iou + 1e-3
+
+    def test_gradients_nonzero_in_all_params(self):
+        """The hard sampled IoU has zero center/yaw gradient a.e. — the
+        soft variant must not (it is the training loss)."""
+        t = jnp.asarray([[0.0, 0, 0, 1.5, 1.0, 1.0, 0.3]])
+
+        def loss(pred):
+            return 1.0 - nms_ops.rotated_iou_3d_soft_pairs(pred, t)[0]
+
+        pred = jnp.asarray([[0.4, -0.3, 0.2, 1.0, 0.8, 0.9, -0.4]])
+        g = np.asarray(jax.grad(loss)(pred))[0]
+        assert np.all(np.isfinite(g))
+        # every one of the 7 parameters gets signal
+        assert np.all(np.abs(g) > 1e-6), g
+
+    def test_gradient_descends_to_target(self):
+        """A few gradient steps on the soft IoU move a misaligned box
+        toward the target (sanity that the loss can actually train)."""
+        t = jnp.asarray([[0.0, 0, 0, 1.5, 1.0, 1.0, 0.5]])
+        pred = jnp.asarray([[0.5, -0.4, 0.3, 1.0, 0.7, 0.8, -0.3]])
+
+        def loss(p):
+            return 1.0 - nms_ops.rotated_iou_3d_soft_pairs(p, t)[0]
+
+        l0 = float(loss(pred))
+        for _ in range(100):
+            pred = pred - 0.05 * jax.grad(loss)(pred)
+        l1 = float(loss(pred))
+        assert l1 < l0 - 0.2, (l0, l1)
