@@ -68,7 +68,16 @@ def simple_backproject(features: jnp.ndarray, proj34: jnp.ndarray,
         vals = jnp.take(feat.reshape(h * w, -1), pix, axis=0)
         return vals * valid[:, None], valid
 
-    return jax.vmap(one)(features, proj34)
+    # scan, not vmap: the real-TPU backend miscompiles batched gathers
+    # whose indices are produced in-graph (project->round->clip->take);
+    # diagnosed on-chip for the identical pattern in ops/voxel_lift.py
+    # (see its comment) — the scanned lowering matches a float64 oracle.
+    def body(_, xs):
+        feat, proj = xs
+        return None, one(feat, proj)
+
+    _, out = jax.lax.scan(body, None, (features, proj34))
+    return out
 
 
 def mean_cov_volumes(per_view: jnp.ndarray, valid: jnp.ndarray):

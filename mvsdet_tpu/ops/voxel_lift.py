@@ -163,9 +163,21 @@ def lift_features_to_voxels_pallas(
 
     n, h, w, c = features.shape
     prob_norm = est_prob / (jnp.sum(est_prob, axis=-1, keepdims=True) + 1e-12)
-    pix, weight, valid = jax.vmap(
-        _pixel_weights, in_axes=(0, 0, 0, None, None, None, None)
-    )(projections, est_depth, prob_norm, points, voxel_size_z, h, w)
+
+    # Scan, not vmap: on the real-TPU backend the vmapped lowering of
+    # this projection + round + z-window composite produced wrongly-
+    # fused comparisons — ~3.5% of (view, voxel) window bits flipped
+    # with margins far beyond fp32 noise, while the scan lowering
+    # matches a float64 host oracle exactly (diagnosed on-chip, round 4;
+    # see experiments/lift_profile_tpu.txt).  The scan also matches the
+    # XLA lift path's lowering, so both backends agree bit-for-bit on
+    # (pix, weight, valid).
+    def body(_, xs):
+        proj, d, p = xs
+        return None, _pixel_weights(proj, d, p, points, voxel_size_z, h, w)
+
+    _, (pix, weight, valid) = jax.lax.scan(
+        body, None, (projections, est_depth, prob_norm))
     if view_mask is not None:
         mf = view_mask.astype(weight.dtype)[:, None]
         weight = weight * mf

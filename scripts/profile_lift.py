@@ -71,29 +71,54 @@ def main():
         t = timed(bwd, feats, est_prob)
         print(f"{name:7s} fwd+bwd: {t * 1e3:8.2f} ms", flush=True)
 
-    # Agreement check in fp32 — the model's actual lift precision
-    # (mvsdet.py lifts fp32 features).  At bf16 the XLA path accumulates
-    # in the feature dtype (bf16 carry) while the Pallas kernel
-    # accumulates fp32, so a bf16-input comparison measures the XLA
-    # path's bf16 carry error, not kernel correctness.
+    # ---- kernel agreement, like-for-like ------------------------------
+    # The two lift impls each recompute (pix, weight) from the projection
+    # internally; vmap vs scan lower that identical math differently on
+    # TPU, and voxels within the resulting ~ulp z-jitter of a depth-
+    # window edge flip their window membership (a few % of voxels — a
+    # full feature-magnitude delta that says nothing about the kernel).
+    # The honest check feeds ONE (pix, weight) set to both gather paths.
     feats32 = feats.astype(jnp.float32)
+    prob_norm = est_prob / (jnp.sum(est_prob, axis=-1, keepdims=True)
+                            + 1e-12)
+    pix, weight, valid = jax.jit(jax.vmap(
+        voxel_lift._pixel_weights,
+        in_axes=(0, 0, 0, None, None, None, None)))(
+        proj, est_depth, prob_norm, points, vz, h, w)
+
+    from mvsdet_tpu.ops.pallas.lift_kernel import weighted_gather_sum
+
+    vol_kernel = jax.jit(weighted_gather_sum)(
+        feats32.reshape(n, h * w, c), pix, weight)
+
+    @jax.jit
+    def vol_scan():
+        def body(acc, xs):
+            f, p_, w_ = xs
+            return acc + jnp.take(f.reshape(h * w, c), p_, axis=0) \
+                * w_[:, None], None
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((points.shape[0], c), jnp.float32),
+            (feats32, pix, weight))
+        return acc
+
+    err = float(jnp.max(jnp.abs(vol_kernel - vol_scan())))
+    print(f"kernel-vs-scan max abs err (same pix/weights, fp32): {err:.2e} "
+          "(bounded by the MXU's bf16-pass rounding of the one-hot "
+          "matmul)", flush=True)
+
+    # end-to-end delta (each impl recomputing pix/weights): dominated by
+    # the window-membership flips described above, NOT kernel error
     out_x = jax.jit(lambda: impls["xla"](feats32, proj, est_depth, est_prob,
                                          points, vz))()
     out_p = jax.jit(lambda: impls["pallas"](feats32, proj, est_depth,
                                             est_prob, points, vz))()
-    err = float(jnp.max(jnp.abs(out_x[0].astype(jnp.float32)
-                                - out_p[0].astype(jnp.float32))))
-    print(f"pallas-vs-xla max abs err (fp32 inputs): {err:.2e}", flush=True)
-    if args.dtype == "bfloat16":
-        out_xb = jax.jit(lambda: impls["xla"](feats, proj, est_depth,
-                                              est_prob, points, vz))()
-        out_pb = jax.jit(lambda: impls["pallas"](feats, proj, est_depth,
-                                                 est_prob, points, vz))()
-        errb = float(jnp.max(jnp.abs(out_xb[0].astype(jnp.float32)
-                                     - out_pb[0].astype(jnp.float32))))
-        print(f"pallas-vs-xla max abs err (bf16 inputs): {errb:.2e} "
-              "(XLA bf16 carry vs kernel fp32 accumulation — expected to "
-              "be large; not a kernel bug)", flush=True)
+    err2 = float(jnp.max(jnp.abs(out_x[0].astype(jnp.float32)
+                                 - out_p[0].astype(jnp.float32))))
+    flipped = int(jnp.sum(out_x[1] != out_p[1]))
+    print(f"end-to-end max abs err: {err2:.2e} with {flipped} voxel "
+          "valid-count flips (z-window boundary jitter between vmap and "
+          "scan lowerings of the same projection math)", flush=True)
 
 
 if __name__ == "__main__":
