@@ -39,6 +39,25 @@ WARMUP = 2
 ITERS = 5
 # views per sweep+costreg scan step; overridable for chunk-size sweeps
 SWEEP_CHUNK = int(os.environ.get("BENCH_SWEEP_CHUNK", "8"))
+# rematerialise sweep chunks in backward (1) or keep activations (0)
+SWEEP_REMAT = os.environ.get("BENCH_SWEEP_REMAT", "1") == "1"
+
+# step FLOP estimate for the MFU report: forward ~4.2 TFLOP/scene
+# (40 x [95 GFLOP costreg + ~6.5 GFLOP resnet50@240x320 + sweep]),
+# train step ~3x forward.  Used when the compiled executable exposes no
+# cost analysis (the axon remote backend does not).
+STEP_FLOP_ESTIMATE = 12.6e12
+
+# bf16 peak TFLOP/s by device kind (public cloud specs)
+_PEAKS = (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12), ("v4", 275e12))
+
+
+def _bf16_peak(device) -> float:
+    kind = getattr(device, "device_kind", "").lower().replace(" ", "")
+    for key, peak in _PEAKS:
+        if key in kind:
+            return peak
+    return 197e12  # assume v5e-class if unknown
 
 
 def trace(msg):
@@ -79,7 +98,7 @@ def main():
 
     model, state, tx = create_train_state(
         cfg, jax.random.PRNGKey(0), batch, sweep_chunk=SWEEP_CHUNK,
-        dtype=jnp.bfloat16)
+        dtype=jnp.bfloat16, sweep_remat=SWEEP_REMAT)
     variables = {"params": state.params, "batch_stats": state.batch_stats,
                  "frozen": state.frozen}
 
@@ -93,12 +112,20 @@ def main():
 
     # ---- headline: print + flush NOW, before any further compiles ----
     scenes_per_s = 1.0 / t_step
+    peak = _bf16_peak(jax.devices()[0])
+    mfu = STEP_FLOP_ESTIMATE / t_step / peak
     print(json.dumps({
         "metric": "full_train_step_scenes_per_s",
         "value": round(scenes_per_s, 3),
         "unit": "scenes/s/chip",
         "vs_baseline": round(scenes_per_s / A5000_BASELINE_SCENES_PER_S, 3),
         "step_ms": round(t_step * 1e3, 1),
+        "mfu": round(mfu, 4),
+        "mfu_note": "step FLOP estimate %.1fT / measured %.0fms / bf16 peak "
+                    "%.0fT (%s)" % (STEP_FLOP_ESTIMATE / 1e12, t_step * 1e3,
+                                    peak / 1e12,
+                                    jax.devices()[0].device_kind),
+        "sweep_remat": SWEEP_REMAT,
         "workload": {"n_src_views": n_src, "n_targets": n_tgt,
                      "image": list(cfg.model.image_size),
                      "target": list(cfg.model.target_size),
@@ -163,9 +190,42 @@ def main():
     t_render = timed(render, variables, gaussians, batch)
     trace("render timed")
 
+    # ---- backward breakdown: fwd+bwd of each phase, separately jitted.
+    # (t_phase_grad - t_phase_fwd) isolates that phase's backward incl.
+    # any remat recompute XLA schedules for it.
+    sweep_grad = jax.jit(lambda v, f: jax.grad(
+        lambda ff: jnp.sum(jnp.square(model.apply(
+            v, ff, proj44, neighbor_ids, False,
+            method=MVSDet.depth_probabilities)[0])))(f))
+    t_sweep_grad = timed(sweep_grad, variables, feats32)
+    trace("sweep grad timed")
+
+    backbone_grad = jax.jit(lambda v, imgs: jax.grad(
+        lambda p: jnp.sum(jnp.square(model.apply(
+            {**v, "params": p}, imgs,
+            method=MVSDet.image_features).astype(jnp.float32))))(
+        v["params"]))
+    t_backbone_grad = timed(backbone_grad, variables, images)
+    trace("backbone grad timed")
+
+    render_grad = jax.jit(lambda v, g, b: jax.grad(
+        lambda gg: jnp.sum(jnp.square(model.apply(
+            v, gg, b, cfg.model.target_size,
+            method=MVSDet.render_targets).astype(jnp.float32))))(g))
+    t_render_grad = timed(render_grad, variables, gaussians, batch)
+    trace("render grad timed")
+
+    lift_grad = jax.jit(lambda f, d, p: jax.grad(
+        lambda ff: jnp.sum(jnp.square(finalize_volume(
+            *lift_features_to_voxels(ff, proj44[:, :3, :4], d, p, points,
+                                     cfg.model.voxel_size[2])))))(f))
+    t_lift_grad = timed(lift_grad, feats32, est_depth, est_prob)
+    trace("lift grad timed")
+
     sweep_views_per_s = n_src / t_sweep
     print(json.dumps({
         "metric": "bench_phase_breakdown",
+        "sweep_remat": SWEEP_REMAT,
         "phases_ms": {
             "backbone_fpn": round(t_backbone * 1e3, 1),
             "sweep_costreg": round(t_sweep * 1e3, 1),
@@ -174,6 +234,16 @@ def main():
             "forward_total": round(t_fwd * 1e3, 1),
             "backward_update": round((t_step - t_fwd) * 1e3, 1),
             "step_total": round(t_step * 1e3, 1),
+        },
+        "grad_phases_ms": {
+            "sweep_costreg_fwdbwd": round(t_sweep_grad * 1e3, 1),
+            "backbone_fwdbwd": round(t_backbone_grad * 1e3, 1),
+            "render_fwdbwd": round(t_render_grad * 1e3, 1),
+            "lift_fwdbwd": round(t_lift_grad * 1e3, 1),
+            "sweep_costreg_bwd_only": round((t_sweep_grad - t_sweep) * 1e3, 1),
+            "backbone_bwd_only": round((t_backbone_grad - t_backbone) * 1e3, 1),
+            "render_bwd_only": round((t_render_grad - t_render) * 1e3, 1),
+            "lift_bwd_only": round((t_lift_grad - t_lift) * 1e3, 1),
         },
         "plane_sweep_views_per_s_per_chip": round(sweep_views_per_s, 2),
     }), flush=True)

@@ -50,32 +50,95 @@ def make_predict_fn(model, variables, diagnostics: bool = False):
     return lambda batch: predict(variables, batch)
 
 
+def make_sharded_predict_fn(model, variables, mesh,
+                            diagnostics: bool = False):
+    """Data-parallel predict over a ('data', ...) mesh.
+
+    The equivalent of the reference's 2-GPU `tools/dist_test.sh` eval
+    (ref: tools/dist_test.sh, metric gather indoor_metric.py:32-38):
+    scenes are stacked on a leading axis and shard_mapped over 'data',
+    one scene per device per call; metric aggregation stays host-side
+    exactly as in the single-device path.
+
+    Returns a fn(stacked_batch) -> stacked outputs, where every leaf of
+    ``stacked_batch`` has a leading axis of size mesh.shape['data'].
+    """
+    import jax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from mvsdet_tpu.models.mvsdet import MVSDet
+
+    def per_device(vars_, batch):
+        local = {k: v[0] for k, v in batch.items()}
+        out = model.apply(vars_, local, diagnostics, method=MVSDet.predict)
+        return jax.tree_util.tree_map(lambda x: x[None], out)
+
+    sharded = shard_map(per_device, mesh=mesh,
+                        in_specs=(P(), P("data")), out_specs=P("data"),
+                        check_vma=False)
+    predict = jax.jit(sharded)
+    return lambda batch: predict(variables, batch)
+
+
 def evaluate_scenes(predict_fn: Callable, scenes: Iterable[Dict],
                     num_classes: int,
                     vis_hook: Optional[Callable[[int, Dict, Dict], None]]
-                    = None) -> Dict[str, float]:
+                    = None,
+                    group_size: int = 1) -> Dict[str, float]:
     """Run predict over host-side scene batches and aggregate metrics.
 
     Args:
-      predict_fn: jitted `make_predict_fn` closure.
+      predict_fn: jitted `make_predict_fn` closure — or, with
+        ``group_size > 1``, a `make_sharded_predict_fn` closure taking a
+        stacked batch of exactly ``group_size`` scenes.
       scenes: iterable of host batch dicts (numpy, static shapes).
       num_classes: detection classes for mAP.
       vis_hook: optional fn(scene_index, scene, pred_host) called per
         scene with numpy outputs (tools/test.py --vis-dir dumps).
+      group_size: scenes predicted per call (the data-parallel width);
+        the final group is padded by repeating the last scene and the
+        padded outputs dropped, so metrics are identical to group_size=1.
     """
     import time
 
     import jax.numpy as jnp
 
+    scenes = list(scenes)
+    n_scenes = len(scenes)
+
+    def predictions():
+        """Yield (scene_index, out_np) in order, grouped if requested."""
+        if group_size <= 1:
+            for si, scene in enumerate(scenes):
+                batch = {k: jnp.asarray(v) for k, v in scene.items()}
+                t0 = time.perf_counter()
+                out = predict_fn(batch)
+                out_np = {k: np.asarray(v) for k, v in out.items()}
+                predict_times.append(time.perf_counter() - t0)
+                yield si, out_np
+            return
+        for start in range(0, n_scenes, group_size):
+            group = scenes[start:start + group_size]
+            pad = group_size - len(group)
+            group = group + [group[-1]] * pad
+            stacked = {
+                k: jnp.stack([jnp.asarray(s[k]) for s in group])
+                for k in group[0]
+            }
+            t0 = time.perf_counter()
+            outs = predict_fn(stacked)
+            outs_np = {k: np.asarray(v) for k, v in outs.items()}
+            dt = (time.perf_counter() - t0) / max(len(group) - pad, 1)
+            for j in range(len(group) - pad):
+                predict_times.append(dt)
+                yield start + j, {k: v[j] for k, v in outs_np.items()}
+
     preds, gts = [], []
     psnrs, ssims, d_rmses, mvs_rmses, wgaps, srmses = [], [], [], [], [], []
     predict_times = []
-    for si, scene in enumerate(scenes):
-        batch = {k: jnp.asarray(v) for k, v in scene.items()}
-        t0 = time.perf_counter()
-        out = predict_fn(batch)
-        out_np = {k: np.asarray(v) for k, v in out.items()}
-        predict_times.append(time.perf_counter() - t0)
+    for si, out_np in predictions():
+        scene = scenes[si]
         mask = out_np["mask"]
         preds.append({"boxes": out_np["boxes"][mask],
                       "scores": out_np["scores"][mask],
@@ -94,8 +157,9 @@ def evaluate_scenes(predict_fn: Callable, scenes: Iterable[Dict],
             for t in range(out_np["rendered_depth"].shape[0]):
                 d_rmses.append(depth_rmse(out_np["rendered_depth"][t],
                                           np.asarray(scene["gt_depth"][t])))
-        if "depth" in scene:
+        if "depth" in scene and "depth_expect" in out_np:
             # MVSMetric: source depth expectation vs GT at feature res
+            # (NerfDet predictions carry no depth expectation)
             est = out_np["depth_expect"]                    # (N, h, w)
             gt = np.asarray(scene["depth"], np.float64)
             gt_small = _resize_nearest(gt, est.shape[1:3])

@@ -74,6 +74,11 @@ class MVSDet(nn.Module):
     # 'mxu': two-pass shear-matmul warp (TPU fast path);
     # 'gather': direct bilinear gather (the correctness oracle)
     sweep_method: str = "mxu"
+    # rematerialise the sweep+costreg chunks in backward (saves the
+    # ~chunk x (D, h, w, C) variance volume + U-Net activations at the
+    # cost of recomputing the chunk forward during backprop).  False
+    # keeps activations live — faster backward where HBM allows.
+    sweep_remat: bool = True
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -82,7 +87,7 @@ class MVSDet(nn.Module):
         self.fpn = FPN(out_channels=mc.backbone.fpn_out_channels,
                        dtype=self.dtype)
         self.cost_reg = CostRegNet(in_channels=mc.backbone.fpn_out_channels,
-                                   dtype=self.dtype)
+                                   norm=mc.cost_reg_norm, dtype=self.dtype)
         self.neck3d = IndoorImVoxelNeck(
             in_channels=mc.backbone.fpn_out_channels,
             out_channels=mc.neck3d_out_channels, dtype=self.dtype)
@@ -135,7 +140,8 @@ class MVSDet(nn.Module):
             off = jax.nn.sigmoid(out[..., 1].astype(jnp.float32))
             return prob, off
 
-        remat_step = nn.remat(step, prevent_cse=False)
+        remat_step = (nn.remat(step, prevent_cse=False)
+                      if self.sweep_remat else step)
         ids = (jnp.arange(n) if ref_ids is None else ref_ids).reshape(-1, chunk)
         probs, offs = [], []
         for i in range(ids.shape[0]):

@@ -34,7 +34,8 @@ class TrainState:
 def create_train_state(cfg: Config, rng, example_batch,
                        steps_per_epoch: int = 1000,
                        sweep_chunk: int = 8,
-                       dtype: Any = jnp.float32) -> Tuple[MVSDet, TrainState,
+                       dtype: Any = jnp.float32,
+                       sweep_remat: bool = True) -> Tuple[MVSDet, TrainState,
                                                           Any]:
     """Initialise model variables and optimizer state.
 
@@ -47,7 +48,8 @@ def create_train_state(cfg: Config, rng, example_batch,
     Returns:
       (model, state, tx).
     """
-    model = MVSDet(cfg.model, sweep_chunk=sweep_chunk, dtype=dtype)
+    model = MVSDet(cfg.model, sweep_chunk=sweep_chunk, dtype=dtype,
+                   sweep_remat=sweep_remat)
     # jit the init: eager init dispatches thousands of tiny ops, which
     # is minutes of round-trips on a tunneled TPU; one compile instead
     variables = jax.jit(
@@ -63,6 +65,68 @@ def create_train_state(cfg: Config, rng, example_batch,
         opt_state=tx.init(params),
     )
     return model, state, tx
+
+
+def create_nerfdet_state(cfg: Config, rng, example_batch,
+                         steps_per_epoch: int = 1000,
+                         dtype: Any = jnp.float32):
+    """Train state for the legacy NeRF-Det family (the reference's second
+    trainable model, ref: projects/NeRF-Det/nerfdet/nerfdet.py:20-632).
+
+    Mirrors `create_train_state` but for `NerfDetLegacy`, whose loss
+    draws a per-step 'rays' rng (N_rand random target rays, nerfdet
+    config N_rand, nerfdet.py:90).
+
+    Returns (model, state, tx).
+    """
+    from mvsdet_tpu.models.nerfdet import NerfDetLegacy
+
+    model = NerfDetLegacy(cfg.model, dtype=dtype)
+    k_params, k_rays = jax.random.split(rng)
+    variables = jax.jit(
+        functools.partial(model.init, method=NerfDetLegacy.loss))(
+        {"params": k_params, "rays": k_rays}, example_batch)
+    params = variables["params"]
+    tx = build_optimizer(cfg.optim, params, steps_per_epoch)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        frozen=variables.get("frozen", {}),
+        opt_state=tx.init(params),
+    )
+    return model, state, tx
+
+
+def make_jitted_nerfdet_step(model, tx, base_seed: int = 0):
+    """Jitted NerfDet train step with a per-step folded 'rays' rng (the
+    reference resamples its N_rand target rays every iteration via the
+    torch global rng, render_ray.py:231-305)."""
+    from mvsdet_tpu.models.nerfdet import NerfDetLegacy
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        rays = jax.random.fold_in(jax.random.PRNGKey(base_seed), state.step)
+
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats,
+                         "frozen": state.frozen}
+            (total, aux), mutated = model.apply(
+                variables, batch, method=NerfDetLegacy.loss,
+                mutable=["batch_stats"], rngs={"rays": rays})
+            return total, (aux, mutated.get("batch_stats",
+                                            state.batch_stats))
+
+        (total, (aux, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, frozen=state.frozen,
+                               opt_state=new_opt)
+        return new_state, {"loss": total, **aux}
+
+    return step
 
 
 def create_predict_state(cfg: Config, rng, example_batch,

@@ -131,6 +131,87 @@ class TestEvaluateScenes:
             assert np.isfinite(results[key])
         assert calls == [0, 1]
 
+    def test_sharded_eval_matches_single_device(self, setup):
+        """--data-parallel analogue of the reference's dist_test.sh:
+        metrics from the ('data',)-mesh sharded predict must equal the
+        single-device path exactly (3 scenes over 2 shards exercises the
+        repeat-last-scene padding)."""
+        from mvsdet_tpu.evaluation.harness import (evaluate_scenes,
+                                                   make_predict_fn,
+                                                   make_sharded_predict_fn)
+        from mvsdet_tpu.parallel.mesh import make_mesh
+
+        cfg, model, variables, _ = setup
+        scenes = [make_synthetic_scene(cfg, seed=s, n_views=4, n_targets=2)
+                  for s in range(3)]
+        single = evaluate_scenes(
+            make_predict_fn(model, variables), scenes,
+            num_classes=cfg.model.head.n_classes)
+        mesh = make_mesh(data=2, view=1)
+        sharded = evaluate_scenes(
+            make_sharded_predict_fn(model, variables, mesh), scenes,
+            num_classes=cfg.model.head.n_classes, group_size=2)
+        for key, v in single.items():
+            if key.startswith("predict_s"):
+                continue
+            assert sharded[key] == pytest.approx(v, abs=1e-5), key
+
+
+class TestBoxVis:
+    """Projected 3D-box overlays (ref visualize_bbox, mvsdet.py:976-982)."""
+
+    def test_corner_projection_and_drawing(self):
+        from mvsdet_tpu.utils.box_vis import (box_corners,
+                                              draw_boxes_on_image)
+
+        # unit cube at origin seen by a camera at z=-3 looking +z
+        box = np.array([[0.0, 0, 0, 1, 1, 1]])
+        corners = box_corners(box)
+        assert corners.shape == (1, 8, 3)
+        np.testing.assert_allclose(np.abs(corners).max(), 0.5)
+
+        w2c = np.eye(4)
+        w2c[2, 3] = 3.0                                  # camera z=-3
+        k = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]])
+        img = np.zeros((96, 128, 3), np.float32)
+        out = draw_boxes_on_image(img, box, w2c, k, (0, 1, 0))
+        assert out.shape == img.shape
+        painted = np.argwhere(out[..., 1] > 0)
+        assert len(painted) > 50
+        # wireframe spans the projected extents: +-0.5 m at z in
+        # [2.5, 3.5] -> x in 64 +- [14.3, 20]
+        ys, xs = painted[:, 0], painted[:, 1]
+        assert 40 <= xs.min() <= 52 and 76 <= xs.max() <= 88
+        assert 24 <= ys.min() <= 36 and 60 <= ys.max() <= 72
+        # behind-camera boxes draw nothing
+        behind = np.array([[0.0, 0, -10.0, 1, 1, 1]])
+        out2 = draw_boxes_on_image(img, behind, w2c, k, (0, 1, 0))
+        assert np.all(out2 == 0)
+
+    def test_yaw_box_rotates_corners(self):
+        from mvsdet_tpu.utils.box_vis import box_corners
+
+        b0 = np.array([[0.0, 0, 0, 2, 1, 1, 0.0]])
+        b90 = np.array([[0.0, 0, 0, 2, 1, 1, np.pi / 2]])
+        c0 = box_corners(b0)[0]
+        c90 = box_corners(b90)[0]
+        # 90-degree yaw swaps the x/y extents
+        assert abs(c0[:, 0].max() - 1.0) < 1e-6
+        assert abs(c90[:, 1].max() - 1.0) < 1e-6
+        assert abs(c90[:, 0].max() - 0.5) < 1e-6
+
+    def test_score_threshold_filters(self):
+        from mvsdet_tpu.utils.box_vis import draw_boxes_on_image
+
+        w2c = np.eye(4)
+        w2c[2, 3] = 3.0
+        k = np.array([[100.0, 0, 64], [0, 100.0, 48], [0, 0, 1]])
+        img = np.zeros((96, 128, 3), np.float32)
+        box = np.array([[0.0, 0, 0, 1, 1, 1]])
+        out = draw_boxes_on_image(img, box, w2c, k, (0, 1, 0),
+                                  scores=np.array([0.1]), score_thr=0.5)
+        assert np.all(out == 0)
+
 
 class TestVisExport:
     def test_png_roundtrip_header(self, tmp_path):

@@ -47,12 +47,18 @@ def parse_args():
                    help="rendered depth + weight_gap/src_rmse metrics")
     p.add_argument("--vis-dir", default=None,
                    help="dump rendered/GT/depth images + gaussian .ply")
+    p.add_argument("--data-parallel", type=int, default=1,
+                   help="scenes evaluated in parallel over a ('data',) "
+                        "device mesh (the reference's 2-GPU dist_test.sh "
+                        "analogue); metrics are identical to the "
+                        "single-device path")
     return p.parse_args()
 
 
 def make_vis_hook(vis_dir, cfg):
     import numpy as np
 
+    from mvsdet_tpu.utils.box_vis import overlay_detections
     from mvsdet_tpu.utils.imageio import colorize_depth, write_png
     from mvsdet_tpu.utils.ply_export import export_ply
 
@@ -61,6 +67,21 @@ def make_vis_hook(vis_dir, cfg):
     def hook(si, scene, out):
         d = os.path.join(vis_dir, f"scene{si:04d}")
         os.makedirs(d, exist_ok=True)
+        if "boxes" in out:
+            # projected box overlays (the reference's visualize_bbox,
+            # mvsdet.py:976-982): predictions green, GT red, on the
+            # first few source views
+            mask = out["mask"]
+            gmask = np.asarray(scene["gt_mask"])
+            k = np.asarray(scene["intrinsic"])
+            for i in range(min(3, scene["images"].shape[0])):
+                k_i = k if k.ndim == 2 else k[i]
+                img = overlay_detections(
+                    np.asarray(scene["denorm_images"][i]),
+                    np.asarray(scene["w2c"][i]), k_i,
+                    out["boxes"][mask], out["scores"][mask],
+                    np.asarray(scene["gt_boxes"])[gmask])
+                write_png(os.path.join(d, f"boxes_{i}.png"), img)
         if "rendered" in out:
             for t in range(out["rendered"].shape[0]):
                 write_png(os.path.join(d, f"render_{t}.png"),
@@ -93,7 +114,8 @@ def main():
 
     from mvsdet_tpu.config import arkit_config, scannet_config
     from mvsdet_tpu.evaluation.harness import (evaluate_scenes,
-                                               make_predict_fn)
+                                               make_predict_fn,
+                                               make_sharded_predict_fn)
     from mvsdet_tpu.training.loop import create_predict_state
 
     cfg = arkit_config() if args.arkit else scannet_config()
@@ -128,13 +150,20 @@ def main():
         cfg, jax.random.PRNGKey(0), example, sweep_chunk=args.sweep_chunk,
         dtype=getattr(jnp, args.dtype), checkpoint=args.checkpoint)
 
-    predict = make_predict_fn(model, variables,
-                              diagnostics=args.diagnostics
-                              or bool(args.vis_dir))
+    diag = args.diagnostics or bool(args.vis_dir)
+    if args.data_parallel > 1:
+        from mvsdet_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(data=args.data_parallel, view=1)
+        predict = make_sharded_predict_fn(model, variables, mesh,
+                                          diagnostics=diag)
+    else:
+        predict = make_predict_fn(model, variables, diagnostics=diag)
     vis_hook = make_vis_hook(args.vis_dir, cfg) if args.vis_dir else None
     results = evaluate_scenes(predict, raw,
                               num_classes=cfg.model.head.n_classes,
-                              vis_hook=vis_hook)
+                              vis_hook=vis_hook,
+                              group_size=args.data_parallel)
     print(json.dumps({k: round(v, 4) for k, v in results.items()},
                      indent=1))
 

@@ -25,6 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_args():
     p = argparse.ArgumentParser(description="Train MVSDet-TPU")
+    p.add_argument("--model", choices=["mvsdet", "nerfdet"],
+                   default="mvsdet",
+                   help="model family: the flagship MVSDet or the legacy "
+                        "NeRF-Det (the reference trains both, "
+                        "nerfdet/nerfdet.py:20 vs mvsdet.py:122)")
     p.add_argument("--infos", help="path to *_infos_train_new.pkl")
     p.add_argument("--data-root", default="", help="dataset root")
     p.add_argument("--work-dir", default="work_dirs/mvsdet")
@@ -126,10 +131,22 @@ def main():
 
     it = batch_iter()
     example = next(it)
-    model, state, tx = create_train_state(
-        cfg, jax.random.PRNGKey(args.seed), example,
-        steps_per_epoch=steps_per_epoch, sweep_chunk=args.sweep_chunk,
-        dtype=getattr(jnp, args.dtype))
+    if args.model == "nerfdet":
+        from mvsdet_tpu.training.loop import create_nerfdet_state
+
+        if args.data_parallel * args.view_parallel > 1:
+            raise SystemExit("--model nerfdet supports single-device "
+                             "training only (like the reference's "
+                             "per-GPU NerfDet; shard scenes with "
+                             "separate processes instead)")
+        model, state, tx = create_nerfdet_state(
+            cfg, jax.random.PRNGKey(args.seed), example,
+            steps_per_epoch=steps_per_epoch, dtype=getattr(jnp, args.dtype))
+    else:
+        model, state, tx = create_train_state(
+            cfg, jax.random.PRNGKey(args.seed), example,
+            steps_per_epoch=steps_per_epoch, sweep_chunk=args.sweep_chunk,
+            dtype=getattr(jnp, args.dtype))
     if args.pretrained:
         state = load_pretrained_backbone(state, args.pretrained)
         print(f"loaded pretrained backbone from {args.pretrained}")
@@ -139,7 +156,14 @@ def main():
     os.makedirs(args.work_dir, exist_ok=True)
 
     n_dp, n_vp = args.data_parallel, args.view_parallel
-    if n_dp * n_vp > 1:
+    if args.model == "nerfdet":
+        from mvsdet_tpu.training.loop import make_jitted_nerfdet_step
+
+        step_fn = make_jitted_nerfdet_step(model, tx, base_seed=args.seed)
+
+        def next_batch():
+            return next(it)
+    elif n_dp * n_vp > 1:
         from mvsdet_tpu.parallel.mesh import make_mesh
         from mvsdet_tpu.parallel.sharding import (batch_pspecs,
                                                   make_sharded_train_step,
@@ -209,11 +233,20 @@ def main():
     # one jitted predict core reused across every epoch eval — building
     # a fresh jax.jit closure per eval would recompile (~minutes on a
     # tunneled TPU) each epoch
-    from mvsdet_tpu.models.mvsdet import MVSDet
+    if args.model == "nerfdet":
+        from mvsdet_tpu.models.nerfdet import NerfDetLegacy
 
-    @jax.jit
-    def predict_core(variables, batch):
-        return model.apply(variables, batch, False, method=MVSDet.predict)
+        @jax.jit
+        def predict_core(variables, batch):
+            return model.apply(variables, batch,
+                               method=NerfDetLegacy.predict)
+    else:
+        from mvsdet_tpu.models.mvsdet import MVSDet
+
+        @jax.jit
+        def predict_core(variables, batch):
+            return model.apply(variables, batch, False,
+                               method=MVSDet.predict)
 
     def run_eval(state):
         from mvsdet_tpu.evaluation.harness import evaluate_scenes
