@@ -95,9 +95,10 @@ class HeadConfig:
     # ARKit yaw-box regression loss: "rotated_iou" = 1 - soft sampled
     # rotated 3D IoU (the reference's RotatedIoU3DLoss analogue,
     # nerfdet_head.py:71,647; ours: ops/nms.py rotated_iou_3d_soft_pairs),
-    # "decoupled" = centre/log-size/sin-cos-yaw smooth-L1.  A/B at
-    # overfit scale (experiments/rotated_loss_ab.md): both reach
-    # mAP 1.0 plateau; rotated_iou is the reference-faithful default.
+    # "decoupled" = centre/log-size/sin-cos-yaw smooth-L1.  A/B on chip
+    # (experiments/rotated_loss_ab.md): rotated_iou finishes 0.90/0.90
+    # mAP@0.25/0.5 vs decoupled's 0.87/0.80 and avoids the decoupled
+    # arm's transient collapse — reference-faithful AND better.
     rotated_bbox_loss: str = "rotated_iou"
 
 
@@ -137,9 +138,10 @@ class ModelConfig:
     # batch-size independent — the reference's own GN variant,
     # mvs_models/mvsnet.py:116) or "batch" (the reference flagship's
     # BatchNorm3d, mvsnet.py:73-113 — exact-parity mode, validated
-    # against the reference net in tests/test_torch_parity.py; under the
-    # chunked scan its train-mode stats are per-chunk).  A/B at overfit
-    # scale: experiments/costreg_norm_ab.md
+    # against the reference net in tests/test_torch_parity.py).  A/B on
+    # chip (experiments/costreg_norm_ab.md): under the chunked view scan
+    # BN trains but its per-chunk running stats diverge from train-mode
+    # behaviour and eval mAP collapses to 0; GN trains AND evals stably.
     cost_reg_norm: str = "group"
     # voxel-lift gather backend: "xla" scan-gather (measured faster:
     # 35.5 vs 58.4 ms fwd at ScanNet scale on v5e,

@@ -25,7 +25,12 @@ class CostRegNet(nn.Module):
     in_channels: int = 256
     base: int = 64
     # GroupNorm by default: scan-safe when the view axis is chunked (the
-    # reference's own GN variant: mvs_models/mvsnet.py:116)
+    # reference's own GN variant: mvs_models/mvsnet.py:116).  "batch" is
+    # the reference flagship's BN — validated weight-for-weight against
+    # the actual reference net in tests/test_torch_parity.py, but under
+    # the chunked scan its running stats go stale and eval collapses
+    # (on-chip A/B: experiments/costreg_norm_ab.md), so it is the
+    # parity/porting mode, not the training default.
     norm: str = "group"
     dtype: Dtype = jnp.float32
 

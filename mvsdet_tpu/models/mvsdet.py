@@ -83,7 +83,9 @@ class MVSDet(nn.Module):
 
     def setup(self):
         mc = self.cfg
-        self.backbone = ResNet50(depth=mc.backbone.depth, dtype=self.dtype)
+        self.backbone = ResNet50(depth=mc.backbone.depth,
+                                 frozen_stages=mc.backbone.frozen_stages,
+                                 dtype=self.dtype)
         self.fpn = FPN(out_channels=mc.backbone.fpn_out_channels,
                        dtype=self.dtype)
         self.cost_reg = CostRegNet(in_channels=mc.backbone.fpn_out_channels,

@@ -113,7 +113,9 @@ class NerfDetLegacy(nn.Module):
         mc = self.cfg
         c = mc.backbone.fpn_out_channels
         self.nerf_feature_dim = c // self.squeeze_scale
-        self.backbone = ResNet50(depth=mc.backbone.depth, dtype=self.dtype)
+        self.backbone = ResNet50(depth=mc.backbone.depth,
+                                 frozen_stages=mc.backbone.frozen_stages,
+                                 dtype=self.dtype)
         self.fpn = FPN(out_channels=c, dtype=self.dtype)
         self.neck3d = IndoorImVoxelNeck(in_channels=c,
                                         out_channels=mc.neck3d_out_channels,
@@ -151,8 +153,15 @@ class NerfDetLegacy(nn.Module):
                                       points, rays_key, train)
 
         volume = mean
-        if self.nerf_density and render is not None:
-            volume = render["voxel_alpha"][:, None] * mean
+        if self.nerf_density:
+            # density scaling is part of extract_feat in BOTH modes in
+            # the reference (nerfdet.py:281-318 runs under
+            # `if ray_batch is not None`, and the test pipeline supplies
+            # rays too) — gating it on the training-only ray branch
+            # would train the head on alpha-scaled volumes but evaluate
+            # it on unscaled ones
+            alpha = self.voxel_density(batch, per_view, cnt, points)
+            volume = alpha[:, None] * mean
             volume = jnp.where(cnt[:, None] > 0, volume, 0.0)
 
         nx, ny, nz = mc.n_voxels
@@ -205,26 +214,28 @@ class NerfDetLegacy(nn.Module):
         # (raw2outputs mask semantics, render_ray.py:214-216)
         ray_mask = (view_count > 1).sum(axis=1) > 8
 
-        render = dict(rgb=out["rgb"], depth=out["depth"], gt_rgb=gt_rgb,
-                      ray_mask=ray_mask, ray_ts=ts, ray_ys=ys, ray_xs=xs)
+        return dict(rgb=out["rgb"], depth=out["depth"], gt_rgb=gt_rgb,
+                    ray_mask=ray_mask, ray_ts=ts, ray_ys=ys, ray_xs=xs)
 
-        # --- voxel density (nerf_density path)
-        if self.nerf_density:
-            rgb_per_view, _ = simple_backproject(
-                batch["denorm_images"].astype(jnp.float32),
-                feinsum("ij,njk->nik", batch["intrinsic"][:3, :3],
-                        batch["w2c"][:, :3, :4]),
-                points)                                       # (N, V, 3)
-            mapped = self.mapping(per_view)                   # (N, V, C/8)
-            mapped = jnp.concatenate([rgb_per_view, mapped], axis=-1)
-            m_mean = jnp.sum(mapped, axis=0) / (cnt[:, None] + 1e-8)
-            m_var = (jnp.sum((mapped - m_mean[None]) ** 2, axis=0)
-                     / (cnt[:, None] + 1e-8))
-            m_var = jnp.where(cnt[:, None] > 0, m_var, 1e6)
-            glob = jnp.concatenate([m_mean, jnp.exp(-m_var)], axis=-1)
-            density = self.nerf_mlp.query_density(points, glob)[:, 0]
-            render["voxel_alpha"] = 1.0 - jnp.exp(-density)
-        return render
+    def voxel_density(self, batch, per_view, cnt, points):
+        """NeRF-MLP density query at voxel centres -> alpha (V,)
+        (the nerf_density path, nerfdet.py:281-318): rgb + mapped
+        feature volumes pooled to mean / exp(-var), density through the
+        shared MLP.  Runs in train AND predict."""
+        rgb_per_view, _ = simple_backproject(
+            batch["denorm_images"].astype(jnp.float32),
+            feinsum("ij,njk->nik", batch["intrinsic"][:3, :3],
+                    batch["w2c"][:, :3, :4]),
+            points)                                           # (N, V, 3)
+        mapped = self.mapping(per_view)                       # (N, V, C/8)
+        mapped = jnp.concatenate([rgb_per_view, mapped], axis=-1)
+        m_mean = jnp.sum(mapped, axis=0) / (cnt[:, None] + 1e-8)
+        m_var = (jnp.sum((mapped - m_mean[None]) ** 2, axis=0)
+                 / (cnt[:, None] + 1e-8))
+        m_var = jnp.where(cnt[:, None] > 0, m_var, 1e6)
+        glob = jnp.concatenate([m_mean, jnp.exp(-m_var)], axis=-1)
+        density = self.nerf_mlp.query_density(points, glob)[:, 0]
+        return 1.0 - jnp.exp(-density)
 
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False,
                  rays_key: Optional[jax.Array] = None):

@@ -65,13 +65,25 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """4-stage ResNet-50; returns (C2, C3, C4, C5) at strides 4/8/16/32."""
+    """4-stage ResNet-50; returns (C2, C3, C4, C5) at strides 4/8/16/32.
+
+    ``frozen_stages=1`` (the reference default,
+    mvsdet_res50_2x_low_res_depth.py:22) stops gradient flow at the end
+    of layer1: the reference sets requires_grad=False there, so torch
+    never backprops through stem+layer1.  Without the stop, autodiff
+    computes (and the optimizer mask then discards) the full
+    high-resolution backward through those stages — wasted work at the
+    most expensive spatial resolution.
+    """
 
     depth: int = 50
+    frozen_stages: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+        import jax
+
         blocks = STAGE_BLOCKS[self.depth]
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="stem_conv")(x)
@@ -85,6 +97,10 @@ class ResNet50(nn.Module):
                 stride = 2 if (b == 0 and stage > 0) else 1
                 x = Bottleneck(width, stride, dtype=self.dtype,
                                name=f"layer{stage + 1}_block{b}")(x)
+            if stage < self.frozen_stages:
+                # cuts both the returned C(stage+2) and the chain into
+                # the next stage, so no cotangent ever reaches here
+                x = jax.lax.stop_gradient(x)
             outs.append(x)
             width *= 2
         return tuple(outs)

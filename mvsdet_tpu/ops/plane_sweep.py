@@ -84,6 +84,29 @@ def homography_warp(src_feat: jnp.ndarray, rel_proj: jnp.ndarray,
     return bilinear_sample(src_feat, coords)
 
 
+def _scan_warp(nei_feat: jnp.ndarray, rel: jnp.ndarray,
+               depth_values: jnp.ndarray) -> jnp.ndarray:
+    """Warp (N, k) (feature, rel-proj) pairs, scanned one pair at a time.
+
+    Scan, not vmap: the real-TPU backend miscompiles batched
+    multi-gather composites whose indices are computed in-graph (the
+    bilinear sampler's 4 taps share one computed coordinate set) — see
+    the on-chip diagnosis in ops/voxel_lift.py.  This is the gather
+    ORACLE path (the model default is the MXU shear warp), so being
+    trustworthy beats being fast.
+    """
+    n, k = nei_feat.shape[:2]
+    flat_feat = nei_feat.reshape((n * k,) + nei_feat.shape[2:])
+    flat_rel = rel.reshape(n * k, 4, 4)
+
+    def body(_, xs):
+        feat, r = xs
+        return None, homography_warp(feat, r, depth_values)
+
+    _, warped = jax.lax.scan(body, None, (flat_feat, flat_rel))
+    return warped.reshape((n, k) + warped.shape[1:])
+
+
 def plane_sweep_variance(features: jnp.ndarray, proj: jnp.ndarray,
                          neighbor_ids: jnp.ndarray,
                          depth_values: jnp.ndarray) -> jnp.ndarray:
@@ -110,9 +133,7 @@ def plane_sweep_variance(features: jnp.ndarray, proj: jnp.ndarray,
     rel = feinsum("nkij,njl->nkil", nei_proj, inv_ref)     # (N, k, 4, 4)
     nei_feat = features[neighbor_ids]                         # (N, k, H, W, C)
 
-    warp = jax.vmap(jax.vmap(homography_warp, in_axes=(0, 0, None)),
-                    in_axes=(0, 0, None))
-    warped = warp(nei_feat, rel, depth_values)                # (N, k, D, H, W, C)
+    warped = _scan_warp(nei_feat, rel, depth_values)          # (N, k, D, H, W, C)
 
     ref = features[:, None, :, :, :]                          # (N,1,H,W,C)
     s = ref + jnp.sum(warped, axis=1)                         # (N, D?, ...)
@@ -152,9 +173,7 @@ def plane_sweep_variance_for_refs(features: jnp.ndarray, proj: jnp.ndarray,
     rel = feinsum("mkij,mjl->mkil", nei_proj, inv_ref)
     nei_feat = features[neighbor_ids]                         # (M, k, H, W, C)
 
-    warp = jax.vmap(jax.vmap(homography_warp, in_axes=(0, 0, None)),
-                    in_axes=(0, 0, None))
-    warped = warp(nei_feat, rel, depth_values)                # (M, k, D, H, W, C)
+    warped = _scan_warp(nei_feat, rel, depth_values)          # (M, k, D, H, W, C)
 
     ref = features[ref_ids][:, None, :, :, :]                 # (M, 1, H, W, C)
     s = ref + jnp.sum(warped, axis=1)

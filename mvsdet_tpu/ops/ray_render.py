@@ -155,12 +155,27 @@ def sample_views_at_points(points: jnp.ndarray, images: jnp.ndarray,
     """
     v, h_img, w_img = images.shape[:3]
     pix, in_front = project_to_views(points, w2c, intrinsic)  # (V, P, 2)
-    rgb = jax.vmap(bilinear_sample)(images, pix)              # (V, P, 3)
-    out = rgb
+    # scan, not vmap, over views: the real-TPU backend miscompiles
+    # batched multi-gather composites whose indices are produced
+    # in-graph (two gathers sharing one computed coordinate set — the
+    # exact shape of this code); see ops/voxel_lift.py for the on-chip
+    # diagnosis.  The scan lowering matches the host oracle.
     if features is not None:
         stride = h_img // features.shape[1]
-        feat = jax.vmap(bilinear_sample)(features, pix / stride)
-        out = jnp.concatenate([rgb, feat], axis=-1)
+
+        def body(_, xs):
+            img, ft, px = xs
+            return None, jnp.concatenate(
+                [bilinear_sample(img, px), bilinear_sample(ft, px / stride)],
+                axis=-1)
+
+        _, out = jax.lax.scan(body, None, (images, features, pix))
+    else:
+        def body(_, xs):
+            img, px = xs
+            return None, bilinear_sample(img, px)
+
+        _, out = jax.lax.scan(body, None, (images, pix))
     inbound = ((pix[..., 0] >= 0) & (pix[..., 0] <= w_img - 1)
                & (pix[..., 1] >= 0) & (pix[..., 1] <= h_img - 1))
     mask = (inbound & in_front).astype(out.dtype)             # (V, P)

@@ -26,11 +26,13 @@ def hard_sync(out):
     computation and is a true barrier; the 4-byte transfer is noise.
 
     Synchronises on EVERY leaf (a composite fn's outputs may come from
-    several separately-dispatched executables) with a SINGLE host fetch:
-    one element per leaf is stacked into a tiny device array whose fetch
-    data-depends on all of them.  Per-leaf host fetches would instead pay
-    one tunnel round trip per leaf — hundreds of ms on a train-state
-    tree over the axon tunnel.
+    several separately-dispatched executables) with a SINGLE jitted
+    probe + host fetch.  Anything per-leaf and eager would pay one
+    tunnel round trip per leaf — a ~270-leaf gradient tree costs
+    hundreds of ms of pure dispatch on the axon tunnel, swamping the
+    timing (observed: an isolated backbone-grad phase "measured" 235 ms
+    of which ~200 was per-leaf dispatch).  The probe compiles once per
+    tree structure (jit cache) and dispatches once per call.
 
     Returns ``out`` unchanged (fetch side effect only).
     """
@@ -38,10 +40,20 @@ def hard_sync(out):
 
     leaves = jax.tree_util.tree_leaves(out)
     if leaves:
-        probe = jnp.stack(
-            [jnp.ravel(leaf)[0].astype(jnp.float32) for leaf in leaves])
-        np.asarray(probe)
+        np.asarray(_probe_fn()(leaves))
     return out
+
+
+_PROBE = []
+
+
+def _probe_fn():
+    if not _PROBE:
+        import jax.numpy as jnp
+
+        _PROBE.append(jax.jit(lambda ls: sum(
+            jnp.ravel(l)[0].astype(jnp.float32) for l in ls)))
+    return _PROBE[0]
 
 
 def timed(fn, *args, iters: int = 5, warmup: int = 2) -> float:

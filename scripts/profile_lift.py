@@ -82,9 +82,8 @@ def main():
     prob_norm = est_prob / (jnp.sum(est_prob, axis=-1, keepdims=True)
                             + 1e-12)
     pix, weight, valid = jax.jit(jax.vmap(
-        voxel_lift._pixel_weights,
-        in_axes=(0, 0, 0, None, None, None, None)))(
-        proj, est_depth, prob_norm, points, vz, h, w)
+        lambda pr, d, p: voxel_lift._pixel_weights(
+            pr, d, p, points, vz, h, w)))(proj, est_depth, prob_norm)
 
     from mvsdet_tpu.ops.pallas.lift_kernel import weighted_gather_sum
 
@@ -117,8 +116,9 @@ def main():
                                  - out_p[0].astype(jnp.float32))))
     flipped = int(jnp.sum(out_x[1] != out_p[1]))
     print(f"end-to-end max abs err: {err2:.2e} with {flipped} voxel "
-          "valid-count flips (z-window boundary jitter between vmap and "
-          "scan lowerings of the same projection math)", flush=True)
+          "valid-count flips (healthy: ~0 now that both impls share the "
+          "scan prologue; a large count would mean the vmapped-gather "
+          "miscompile described in ops/voxel_lift.py is back)", flush=True)
 
 
 if __name__ == "__main__":
