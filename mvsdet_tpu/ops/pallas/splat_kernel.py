@@ -18,9 +18,12 @@ per-tile gaussian tables; this kernel then runs one grid step per tile:
 Compositing uses the same exclusive log-transmittance cumsum as the XLA
 oracle (ops/splat.py:162-169), chunked along K so VMEM temporaries stay
 bounded; the weights x values contraction rides the MXU.  Gradients come
-from a custom VJP that rematerialises the identical math in XLA
-(`composite_tiles_xla`) — gather/scatter back to the global gaussian set
-is handled outside by autodiff of the binning gather.
+from an analytic Pallas backward kernel (`_bwd_kernel`: reverse chunk
+walk with a suffix-weight carry, mirroring the CUDA rasterizer's
+back-to-front backward, cuda_rasterizer/backward.cu in
+diff-gaussian-rasterization) — validated against jax.vjp of the XLA
+twin (`composite_tiles_xla`); gather/scatter back to the global
+gaussian set is handled outside by autodiff of the binning gather.
 """
 
 from __future__ import annotations
@@ -120,6 +123,146 @@ def _composite_tiles_pallas(data, vals, tiles_x: int, tile_h: int,
     )(data, vals)
 
 
+def _bwd_kernel(data_ref, vals_ref, g_ref, ddata_ref, dvals_ref, logt_ref,
+                *, tiles_x: int, tile_h: int, tile_w: int, k_chunk: int):
+    """Analytic backward of the tile compositor, one grid step per tile.
+
+    For L = sum_i w_i (g.v_i) + g_T T_final with w_i = a_i prod_{k<i}(1-a_k):
+      dL/dv_j    = w_j g                                  (per channel)
+      dL/da_j    = T^excl_j u_j - (S_j + g_T T_final) / (1 - a_j)
+    where u_j = g.v_j and S_j = sum_{i>j} w_i u_i.  Chunks are walked
+    back-to-front carrying the suffix S; the per-chunk starting
+    log-transmittance is stashed in a small VMEM scratch during a cheap
+    forward sweep (phase A).  da then chains through the forward's
+    exact clip/cull masks to the 6 data rows.
+    """
+    t = pl.program_id(0)
+    px, py = _tile_pixel_coords(t // tiles_x, t % tiles_x, tile_h, tile_w)
+    p = tile_h * tile_w
+    n_k = data_ref.shape[2]
+    c = vals_ref.shape[1]
+    n_chunks = n_k // k_chunk
+    ii = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, k_chunk), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (k_chunk, k_chunk), 1)
+    m_excl = (ii < jj).astype(jnp.float32)      # strictly upper: prefix
+    m_suf = (ii > jj).astype(jnp.float32)       # strictly lower: suffix
+
+    def chunk_pieces(ci):
+        sl = pl.ds(ci * k_chunk, k_chunk)
+        mx = data_ref[0, 0:1, sl]
+        my = data_ref[0, 1:2, sl]
+        ca = data_ref[0, 2:3, sl]
+        cb = data_ref[0, 3:4, sl]
+        cc = data_ref[0, 4:5, sl]
+        op = data_ref[0, 5:6, sl]
+        dx = px - mx                                           # (P, kc)
+        dy = py - my
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        exp_p = jnp.exp(jnp.minimum(power, 0.0))
+        alpha_un = op * exp_p
+        alpha_cl = jnp.minimum(alpha_un, 0.99)
+        active = (power <= 0.0) & (alpha_cl >= 1.0 / 255.0)
+        alpha = jnp.where(active, alpha_cl, 0.0)
+        return sl, (dx, dy, ca, cb, cc, power, exp_p, alpha_un, active,
+                    alpha)
+
+    # phase A: per-chunk starting log-transmittance
+    def body_a(ci, log_t):
+        logt_ref[ci, :] = log_t[:, 0]
+        _, (_, _, _, _, _, _, _, _, _, alpha) = chunk_pieces(ci)
+        return log_t + jnp.sum(jnp.log1p(-alpha), axis=1, keepdims=True)
+
+    log_t_total = jax.lax.fori_loop(0, n_chunks, body_a,
+                                    jnp.zeros((p, 1), jnp.float32))
+    t_final = jnp.exp(log_t_total)                             # (P, 1)
+
+    g_out = g_ref[0, :c, :]                                    # (C, P)
+    g_t = g_ref[0, c:c + 1, :]                                 # (1, P)
+    base = g_t.reshape(p, 1) * t_final                         # (P, 1)
+
+    # phase B: reverse chunk walk with suffix carry
+    def body_b(r, s_carry):
+        ci = n_chunks - 1 - r
+        sl, (dx, dy, ca, cb, cc, power, exp_p, alpha_un, active,
+             alpha) = chunk_pieces(ci)
+        lt = jnp.log1p(-alpha)
+        cum_excl = jax.lax.dot_general(
+            lt, m_excl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        t_excl = jnp.exp(logt_ref[ci, :][:, None] + cum_excl)  # (P, kc)
+        w = t_excl * alpha
+        vals_c = vals_ref[0, :, sl]                            # (C, kc)
+        u = jax.lax.dot_general(
+            g_out, vals_c, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (P, kc)
+        wu = w * u
+        s_within = jax.lax.dot_general(
+            wu, m_suf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (P, kc)
+        dalpha = t_excl * u - (s_within + s_carry + base) / (1.0 - alpha)
+        not_clipped = alpha_un < 0.99
+        d_alpha_un = jnp.where(active & not_clipped, dalpha, 0.0)
+        d_op_pk = d_alpha_un * exp_p                           # (P, kc)
+        d_power = jnp.where(power < 0.0, d_alpha_un * alpha_un, 0.0)
+
+        one_row = jnp.ones((1, p), jnp.float32)
+
+        def col_sum(x):                                        # (P, kc)->(1, kc)
+            return jax.lax.dot_general(
+                one_row, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        ddata_ref[0, 0:1, sl] = col_sum(d_power * (ca * dx + cb * dy))
+        ddata_ref[0, 1:2, sl] = col_sum(d_power * (cc * dy + cb * dx))
+        ddata_ref[0, 2:3, sl] = col_sum(d_power * (-0.5 * dx * dx))
+        ddata_ref[0, 3:4, sl] = col_sum(d_power * (-dx * dy))
+        ddata_ref[0, 4:5, sl] = col_sum(d_power * (-0.5 * dy * dy))
+        ddata_ref[0, 5:6, sl] = col_sum(d_op_pk)
+        ddata_ref[0, 6:8, sl] = jnp.zeros((2, k_chunk), jnp.float32)
+        dvals_ref[0, :, sl] = jax.lax.dot_general(
+            g_out, w, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                # (C, kc)
+        return s_carry + jnp.sum(wu, axis=1, keepdims=True)
+
+    jax.lax.fori_loop(0, n_chunks, body_b, jnp.zeros((p, 1), jnp.float32))
+
+
+def _composite_tiles_bwd_pallas(data, vals, g, tiles_x: int, tile_h: int,
+                                tile_w: int, k_chunk: int, interpret: bool):
+    n_tiles, _, k = data.shape
+    c = vals.shape[1]
+    p = tile_h * tile_w
+    kc = min(k_chunk, k)
+    while k % kc:
+        kc -= 1
+    kernel = functools.partial(_bwd_kernel, tiles_x=tiles_x, tile_h=tile_h,
+                               tile_w=tile_w, k_chunk=kc)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c + 1, p), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, k), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, 8, k), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, c, k), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((k // kc, p), jnp.float32)],
+        interpret=interpret,
+    )(data, vals, g)
+
+
 def composite_tiles_xla(data, vals, tiles_x: int, tile_h: int, tile_w: int):
     """Pure-XLA twin of the kernel — identical math, vmapped over tiles.
 
@@ -177,10 +320,10 @@ def _fwd(data, vals, tiles_x, tile_h, tile_w, k_chunk):
 
 def _bwd(tiles_x, tile_h, tile_w, k_chunk, res, g):
     data, vals = res
-    _, vjp = jax.vjp(
-        lambda d, v: composite_tiles_xla(d, v, tiles_x, tile_h, tile_w),
-        data, vals)
-    return vjp(g)
+    interpret = jax.devices()[0].platform != "tpu"
+    ddata, dvals = _composite_tiles_bwd_pallas(
+        data, vals, g, tiles_x, tile_h, tile_w, k_chunk, interpret)
+    return ddata, dvals
 
 
 composite_tiles.defvjp(_fwd, _bwd)
