@@ -111,6 +111,9 @@ def main():
     trace("train step timed: %.3fs" % t_step)
 
     # ---- headline: print + flush NOW, before any further compiles ----
+    from mvsdet_tpu.utils.profiling import dispatch_floor
+
+    floor = dispatch_floor()
     scenes_per_s = 1.0 / t_step
     peak = _bf16_peak(jax.devices()[0])
     mfu = STEP_FLOP_ESTIMATE / t_step / peak
@@ -120,6 +123,10 @@ def main():
         "unit": "scenes/s/chip",
         "vs_baseline": round(scenes_per_s / A5000_BASELINE_SCENES_PER_S, 3),
         "step_ms": round(t_step * 1e3, 1),
+        # additive dispatch+fetch latency of every timed() sample on
+        # this backend (~23 ms over the axon tunnel): subtract it when
+        # reading MICRO timings; the step headline barely notices it
+        "dispatch_floor_ms": round(floor * 1e3, 1),
         "mfu": round(mfu, 4),
         "mfu_note": "step FLOP estimate %.1fT / measured %.0fms / bf16 peak "
                     "%.0fT (%s)" % (STEP_FLOP_ESTIMATE / 1e12, t_step * 1e3,

@@ -68,6 +68,21 @@ def timed(fn, *args, iters: int = 5, warmup: int = 2) -> float:
     return min(times)
 
 
+def dispatch_floor(iters: int = 5) -> float:
+    """Measured dispatch+fetch floor of `timed` on this backend.
+
+    On the axon tunneled TPU a trivial jitted add measures ~23 ms
+    (round-trip latency), so every `timed` result carries that additive
+    floor.  Subtract it when interpreting MICRO-benchmarks (a "28 ms"
+    conv may be ~5 ms of compute); multi-hundred-ms step timings are
+    barely affected.  Report it next to any microbenchmark numbers.
+    """
+    import jax.numpy as jnp
+
+    a = jnp.ones((8, 8))
+    return timed(jax.jit(lambda a: a + 1.0), a, iters=iters)
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """Capture a jax.profiler trace (view with TensorBoard/XProf)."""

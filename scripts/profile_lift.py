@@ -36,6 +36,10 @@ def main():
     from mvsdet_tpu.utils.profiling import timed
 
     print("backend:", jax.devices()[0].platform, flush=True)
+    from mvsdet_tpu.utils.profiling import dispatch_floor
+
+    print("dispatch+fetch floor: %.2f ms (additive in every timing "
+          "below)" % (dispatch_floor() * 1e3), flush=True)
     cfg = scannet_config()
     dtype = getattr(jnp, args.dtype)
     n = args.views
