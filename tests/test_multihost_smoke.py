@@ -9,6 +9,7 @@ proof of the reference's dist_train.sh NNODES path
 (ref: tools/dist_train.sh, configs/_base_/default_runtime.py:14).
 """
 
+import json
 import os
 import re
 import socket
@@ -27,6 +28,34 @@ def _free_port():
     with socket.socket() as s:
         s.bind(("localhost", 0))
         return s.getsockname()[1]
+
+
+def test_dist_train_launcher_lockstep():
+    """tools/dist_train.sh (the reference's dist launcher analogue)
+    spawns N workers that take identical lock-step training steps."""
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "PYTHONPATH",
+                        "PALLAS_AXON_POOL_IPS")}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MVSDET_PORT"] = str(port)
+    res = subprocess.run(
+        [os.path.join(REPO, "tools", "dist_train.sh"), "2",
+         "--tiny", "--synthetic", "2", "--steps", "2",
+         "--data-parallel", "2", "--n-views", "6",
+         "--work-dir", "/tmp/dist_launcher_test"],
+        env=env, capture_output=True, text=True, timeout=1200)
+    assert res.returncode == 0, res.stderr[-2000:]
+    # both workers print per-step loss lines; pmean makes them identical
+    losses = [l for l in res.stdout.splitlines() if '"loss"' in l]
+    assert len(losses) >= 4, res.stdout[-2000:]
+    by_step = {}
+    for line in losses:
+        rec = json.loads(line)
+        by_step.setdefault(rec["step"], []).append(rec["loss"])
+    for step, vals in by_step.items():
+        assert len(vals) == 2, (step, vals)
+        assert vals[0] == vals[1], (step, vals)
 
 
 def test_two_process_lockstep_train_step():
