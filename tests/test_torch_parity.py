@@ -124,10 +124,13 @@ def test_homo_warping_torch_compat_exact():
 
 @needs_ref
 def test_homo_warping_default_differs_only_by_skew():
-    """The corrected default equals torch once the skew is applied in
-    reverse — i.e. the deviation IS the documented align_corners skew,
-    nothing else (ops/sampling.py docstring)."""
-    module, _ = _load_ref_mvs()
+    """The corrected default equals the torch-compat path once the
+    documented align_corners skew (x -> x*W/(W-1) - 0.5, ops/sampling.py
+    `torch_grid_sample_skew`) is folded into the projection — i.e. the
+    deviation IS that affine skew on the source sampling coordinates,
+    nothing else.  The skew acts on post-division pixel coords, so it
+    lifts to a left-multiplication of the relative projection's x/y rows
+    by the z row."""
     rng = np.random.default_rng(1)
     h, w, c, d = 24, 32, 4, 5
     feat = rng.standard_normal((h, w, c)).astype(np.float32)
@@ -136,18 +139,26 @@ def test_homo_warping_default_differs_only_by_skew():
     depths = np.linspace(0.5, 4.0, d).astype(np.float32)
 
     from mvsdet_tpu.ops.plane_sweep import homography_warp
-    rel = jnp.asarray(src_proj @ np.linalg.inv(ref_proj), jnp.float32)
-    default = np.asarray(homography_warp(
-        jnp.asarray(feat), rel, jnp.asarray(depths)))
+    rel = src_proj @ np.linalg.inv(ref_proj)
+    skew = np.eye(4)
+    skew[0, 0] = w / (w - 1)
+    skew[0, 2] = -0.5
+    skew[1, 1] = h / (h - 1)
+    skew[1, 2] = -0.5
+    default_on_skewed = np.asarray(homography_warp(
+        jnp.asarray(feat), jnp.asarray(skew @ rel, jnp.float32),
+        jnp.asarray(depths)))
     compat = np.asarray(homography_warp(
-        jnp.asarray(feat), rel, jnp.asarray(depths), torch_compat=True))
+        jnp.asarray(feat), jnp.asarray(rel, jnp.float32),
+        jnp.asarray(depths), torch_compat=True))
 
-    # sub-pixel skew: max tap displacement is ~0.5px + x/(W-1) -> bounded
-    # feature delta, but nowhere near zero either (they must differ).
-    delta = np.abs(default - compat)
-    assert delta.max() > 0.0
-    # and a smooth feature field keeps the delta small relative to range
-    assert np.median(delta) < np.abs(feat).max()
+    # they must genuinely differ without the fold ...
+    default = np.asarray(homography_warp(
+        jnp.asarray(feat), jnp.asarray(rel, jnp.float32),
+        jnp.asarray(depths)))
+    assert np.abs(default - compat).max() > 1e-3
+    # ... and agree exactly with it
+    assert np.max(np.abs(default_on_skewed - compat)) <= 1e-4
 
 
 # ---------------------------------------------------------------------------
