@@ -163,6 +163,55 @@ class TestNVSMetrics:
         noisy = np.clip(img + rng.randn(32, 32, 3) * 0.2, 0, 1)
         assert ssim(img, noisy) < 0.9
 
+    def test_ssim_matches_skimage_default_oracle(self):
+        """ssim == the reference's skimage structural_similarity formula.
+
+        The oracle is the skimage default algorithm re-typed literally
+        (scipy uniform_filter, crop pad, sample covariance) from
+        skimage.metrics._structural_similarity — the exact call the
+        reference makes (save_rendered_img.py:42-44: channel_axis=-1,
+        data_range=1 on float images); skimage itself is not installed
+        in this container.
+        """
+        from scipy.ndimage import uniform_filter
+
+        def skimage_oracle(im1, im2, data_range=1.0, win_size=7):
+            chans = []
+            for c in range(im1.shape[-1]):
+                x = im1[..., c].astype(np.float64)
+                y = im2[..., c].astype(np.float64)
+                np_ = win_size**2
+                cov_norm = np_ / (np_ - 1)
+                ux = uniform_filter(x, size=win_size)
+                uy = uniform_filter(y, size=win_size)
+                uxx = uniform_filter(x * x, size=win_size)
+                uyy = uniform_filter(y * y, size=win_size)
+                uxy = uniform_filter(x * y, size=win_size)
+                vx = cov_norm * (uxx - ux * ux)
+                vy = cov_norm * (uyy - uy * uy)
+                vxy = cov_norm * (uxy - ux * uy)
+                r = data_range
+                c1, c2 = (0.01 * r) ** 2, (0.03 * r) ** 2
+                a1, a2 = 2 * ux * uy + c1, 2 * vxy + c2
+                b1, b2 = ux**2 + uy**2 + c1, vx + vy + c2
+                s = (a1 * a2) / (b1 * b2)
+                pad = (win_size - 1) // 2
+                chans.append(s[pad:-pad, pad:-pad].mean())
+            return float(np.mean(chans))
+
+        rng = np.random.RandomState(3)
+        for shape in [(24, 31, 3), (120, 160, 3)]:
+            a = rng.rand(*shape)
+            b = np.clip(a + rng.randn(*shape) * 0.15, 0, 1)
+            golden = skimage_oracle(a, b)
+            assert abs(ssim(a, b) - golden) < 1e-10, (
+                f"ssim deviates from skimage formula at {shape}")
+        # data_range propagates into C1/C2
+        a255 = a * 255
+        b255 = b * 255
+        golden = skimage_oracle(a255, b255, data_range=255.0)
+        assert abs(ssim(a255, b255, data_range=255.0) - golden) < 1e-10
+
     def test_depth_rmse_masked(self):
         gt = np.array([[1.0, 0.0], [2.0, 3.0]])
         pred = np.array([[1.5, 9.0], [2.0, 3.0]])
