@@ -169,6 +169,116 @@ def rotated_iou_bev_sampled(boxes1: jnp.ndarray, boxes2: jnp.ndarray,
     return inter / jnp.maximum(union, 1e-12)
 
 
+_POLY_SLOTS = 8  # 4-gon clipped by 4 half-planes grows to at most 8 vertices
+
+
+def _clip_half_plane(poly: jnp.ndarray, count: jnp.ndarray,
+                     p0: jnp.ndarray, p1: jnp.ndarray):
+    """One Sutherland-Hodgman step with a static vertex buffer.
+
+    Keeps the half-plane left of the directed edge p0->p1 (interior for
+    CCW-wound quads).  Each input vertex emits up to two candidates (the
+    vertex itself if inside, the edge intersection on a crossing);
+    prefix-sum compaction scatters the survivors back into the buffer in
+    polygon order.
+
+    Args:
+      poly: (S, 2) vertex buffer; count: scalar live-vertex count.
+      p0, p1: (2,) clip edge endpoints.
+
+    Returns:
+      (new_poly, new_count).
+    """
+    s = poly.shape[0]
+    idx = jnp.arange(s)
+    live = idx < count
+    cur = poly
+    # successor with wraparound at `count` — roll + fixup instead of a
+    # gather: batched computed-index multi-gathers miscompile on the
+    # real-TPU backend (see ops/voxel_lift.py), and roll/where lower to
+    # plain shuffles
+    nxt = jnp.roll(poly, -1, axis=0)
+    nxt = jnp.where((idx == count - 1)[:, None], poly[0], nxt)
+    edge = p1 - p0
+
+    def side(q):
+        return (edge[0] * (q[..., 1] - p0[1])
+                - edge[1] * (q[..., 0] - p0[0]))
+
+    c_in = side(cur) >= 0
+    n_in = side(nxt) >= 0
+    d = nxt - cur
+    denom = edge[0] * d[..., 1] - edge[1] * d[..., 0]
+    denom_ok = jnp.abs(denom) > 1e-12
+    denom_safe = jnp.where(denom_ok, denom, 1.0)
+    t = (edge[0] * (p0[1] - cur[..., 1])
+         - edge[1] * (p0[0] - cur[..., 0])) / denom_safe
+    inter = cur + t[:, None] * d
+
+    cand = jnp.stack([cur, inter], axis=1).reshape(2 * s, 2)
+    emit = jnp.stack([live & c_in, live & (c_in != n_in) & denom_ok],
+                     axis=1).reshape(2 * s)
+    # order-preserving compaction as a one-hot matmul (no scatter)
+    pos = jnp.cumsum(emit) - 1
+    one_hot = (emit[:, None]
+               & (pos[:, None] == jnp.arange(s)[None, :])).astype(poly.dtype)
+    out = one_hot.T @ cand
+    return out, jnp.sum(emit)
+
+
+def _convex_quad_intersection_area(quad1: jnp.ndarray,
+                                   quad2: jnp.ndarray) -> jnp.ndarray:
+    """Exact intersection area of two convex CCW quads ((4, 2) each)."""
+    poly = jnp.zeros((_POLY_SLOTS, 2), quad1.dtype).at[:4].set(quad1)
+    count = jnp.asarray(4)
+    for k in range(4):  # static unroll: 4 clip edges
+        poly, count = _clip_half_plane(poly, count, quad2[k],
+                                       quad2[(k + 1) % 4])
+    idx = jnp.arange(_POLY_SLOTS)
+    nxt = jnp.roll(poly, -1, axis=0)
+    nxt = jnp.where((idx == count - 1)[:, None], poly[0], nxt)
+    cross = poly[:, 0] * nxt[:, 1] - poly[:, 1] * nxt[:, 0]
+    area = 0.5 * jnp.abs(jnp.sum(jnp.where(idx < count, cross, 0.0)))
+    return jnp.where(count >= 3, area, 0.0)
+
+
+def rotated_iou_bev_exact(boxes1: jnp.ndarray,
+                          boxes2: jnp.ndarray) -> jnp.ndarray:
+    """Exact pairwise rotated 3D IoU (BEV polygon clip x z overlap).
+
+    Jittable equivalent of the polygon-clipping CUDA IoU behind mmcv's
+    `nms3d` (ref: nerfdet_head.py:1213-1221): Sutherland-Hodgman over
+    fixed-size vertex buffers (a clipped 4-gon has <= 8 vertices, so
+    every shape is static), vmapped over the pair grid.  Matches the
+    host-side exact `rotated_iou_numpy` (evaluation/indoor_eval.py) to
+    fp32 precision — no sampling error, unlike `rotated_iou_bev_sampled`.
+
+    Args:
+      boxes1: (M, 7), boxes2: (N, 7) center/size/yaw boxes.
+
+    Returns:
+      (M, N) exact 3D IoU.
+    """
+    c1 = _rotated_bev_corners(boxes1)                         # (M, 4, 2)
+    c2 = _rotated_bev_corners(boxes2)                         # (N, 4, 2)
+    inter_bev = jax.vmap(
+        lambda q1: jax.vmap(
+            lambda q2: _convex_quad_intersection_area(q1, q2))(c2))(c1)
+
+    z1lo = boxes1[:, 2] - boxes1[:, 5] / 2
+    z1hi = boxes1[:, 2] + boxes1[:, 5] / 2
+    z2lo = boxes2[:, 2] - boxes2[:, 5] / 2
+    z2hi = boxes2[:, 2] + boxes2[:, 5] / 2
+    zint = jnp.maximum(
+        jnp.minimum(z1hi[:, None], z2hi[None, :])
+        - jnp.maximum(z1lo[:, None], z2lo[None, :]), 0.0)
+    inter = inter_bev * zint
+    vol1 = boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5]
+    vol2 = boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5]
+    union = vol1[:, None] + vol2[None, :] - inter
+    return inter / jnp.maximum(union, 1e-12)
+
+
 def rotated_iou_3d_soft_pairs(pred7: jnp.ndarray, target7: jnp.ndarray,
                               grid: int = 16,
                               tau: float = 0.1) -> jnp.ndarray:
@@ -236,10 +346,12 @@ def rotated_3d_nms(boxes7: jnp.ndarray, scores: jnp.ndarray,
                    max_out: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy class-aware NMS for yaw boxes (ARKit head path).
 
-    Same control flow as `aligned_3d_nms`, with sampled rotated IoU.
+    Same control flow as `aligned_3d_nms`, with EXACT polygon-clip
+    rotated IoU — suppression decisions match the reference's CUDA
+    `nms3d` (nerfdet_head.py:1213-1221) with no sampling error.
     """
     m = boxes7.shape[0]
-    iou = rotated_iou_bev_sampled(boxes7, boxes7)
+    iou = rotated_iou_bev_exact(boxes7, boxes7)
     same_class = classes[:, None] == classes[None, :]
     suppress = (iou > iou_thr) & same_class
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
