@@ -48,7 +48,7 @@ from mvsdet_tpu.ops.plane_sweep import plane_sweep_variance_for_refs
 from mvsdet_tpu.ops.plane_sweep_mxu import plane_sweep_variance_mxu
 from mvsdet_tpu.ops.sampling import bilinear_resize
 from mvsdet_tpu.ops.splat import render_view
-from mvsdet_tpu.ops.splat_tiles import render_view_tiled
+from mvsdet_tpu.ops.splat_tiles import render_views_tiled
 from mvsdet_tpu.ops.voxel_lift import (finalize_volume,
                                        lift_features_to_voxels,
                                        lift_features_to_voxels_pallas)
@@ -125,6 +125,18 @@ class MVSDet(nn.Module):
         depths = depth_plane_values(*mc.near_far_range,
                                     mc.gs.num_depth_planes)
         chunk = self.sweep_chunk
+        if mc.cost_reg_norm == "batch" and train:
+            # Faithful-training BN: the reference's BatchNorm3d sees the
+            # FULL view batch in one call (mvsnet.py:73-113 applied at
+            # mvsdet.py:470).  Under a view-chunked scan each chunk
+            # would compute its own batch stats and the running averages
+            # diverge from anything eval applies — trains but evals at
+            # mAP 0 (on-chip A/B: experiments/costreg_norm_ab.md).  So
+            # train-mode BN collapses the scan to a single full-batch
+            # chunk; remat still bounds the U-Net activation memory, and
+            # fewer graph copies also shrink the remote-compile payload.
+            # Eval keeps the configured chunking (running stats only).
+            chunk = n
         if n % chunk != 0:
             chunk = 1 if n < chunk else max(
                 c for c in range(1, chunk + 1) if n % c == 0)
@@ -355,25 +367,26 @@ class MVSDet(nn.Module):
         """
         tgt_k = batch["tgt_intrinsic"]
         ht, wt = image_shape
+        n_tgt = batch["tgt_c2w"].shape[0]
         norm = jnp.asarray([[wt], [ht], [1.0]], jnp.float32)
         bg = jnp.asarray(self.cfg.gs.background_color, jnp.float32)
-        if self.cfg.gs.splat_impl == "tiled":
-            def render(c2w, k):
-                return render_view_tiled(
-                    gaussians.means, gaussians.covariances,
-                    gaussians.harmonics, gaussians.opacities, c2w, k,
-                    image_shape, background=bg,
-                    capacity=self.cfg.gs.splat_capacity)
+        if tgt_k.ndim == 2:
+            ks = jnp.broadcast_to(tgt_k[:3, :3] / norm, (n_tgt, 3, 3))
         else:
-            def render(c2w, k):
-                return render_view(
-                    gaussians.means, gaussians.covariances,
-                    gaussians.harmonics, gaussians.opacities, c2w, k,
-                    image_shape, background=bg)
+            ks = tgt_k[:, :3, :3] / norm
+        if self.cfg.gs.splat_impl == "tiled":
+            # every target's tiles in one Pallas launch
+            return render_views_tiled(
+                gaussians.means, gaussians.covariances,
+                gaussians.harmonics, gaussians.opacities,
+                batch["tgt_c2w"], ks, image_shape, background=bg,
+                capacity=self.cfg.gs.splat_capacity)
         imgs = []
-        for t in range(batch["tgt_c2w"].shape[0]):
-            k_t = tgt_k[:3, :3] if tgt_k.ndim == 2 else tgt_k[t, :3, :3]
-            imgs.append(render(batch["tgt_c2w"][t], k_t / norm))
+        for t in range(n_tgt):
+            imgs.append(render_view(
+                gaussians.means, gaussians.covariances,
+                gaussians.harmonics, gaussians.opacities,
+                batch["tgt_c2w"][t], ks[t], image_shape, background=bg))
         return jnp.stack(imgs)                                # (T, Ht, Wt, 3)
 
     def render_target_depth(self, gaussians: Gaussians, batch, image_shape):
@@ -390,25 +403,30 @@ class MVSDet(nn.Module):
         """
         tgt_k = batch["tgt_intrinsic"]
         ht, wt = image_shape
+        n_tgt = batch["tgt_c2w"].shape[0]
         norm = jnp.asarray([[wt], [ht], [1.0]], jnp.float32)
-        tiled = self.cfg.gs.splat_impl == "tiled"
+        if tgt_k.ndim == 2:
+            ks = jnp.broadcast_to(tgt_k[:3, :3] / norm, (n_tgt, 3, 3))
+        else:
+            ks = tgt_k[:, :3, :3] / norm
+        w2cs = jnp.linalg.inv(batch["tgt_c2w"])               # (T, 4, 4)
+        z = (jnp.einsum("gi,ti->tg", gaussians.means, w2cs[:, 2, :3])
+             + w2cs[:, 2, 3][:, None])[..., None]            # (T, G, 1)
+        if self.cfg.gs.splat_impl == "tiled":
+            d = render_views_tiled(
+                gaussians.means, gaussians.covariances,
+                gaussians.harmonics, gaussians.opacities,
+                batch["tgt_c2w"], ks, image_shape,
+                capacity=self.cfg.gs.splat_capacity,
+                values_override=z)
+            return d[..., 0]
         depths = []
-        for t in range(batch["tgt_c2w"].shape[0]):
-            c2w = batch["tgt_c2w"][t]
-            k_t = tgt_k[:3, :3] if tgt_k.ndim == 2 else tgt_k[t, :3, :3]
-            w2c = jnp.linalg.inv(c2w)
-            z = (gaussians.means @ w2c[2, :3].T + w2c[2, 3])[:, None]  # (G,1)
-            if tiled:
-                d = render_view_tiled(
-                    gaussians.means, gaussians.covariances,
-                    gaussians.harmonics, gaussians.opacities, c2w,
-                    k_t / norm, image_shape, value_override=z,
-                    capacity=self.cfg.gs.splat_capacity)
-            else:
-                d = render_view(
-                    gaussians.means, gaussians.covariances,
-                    gaussians.harmonics, gaussians.opacities, c2w,
-                    k_t / norm, image_shape, value_override=z)
+        for t in range(n_tgt):
+            d = render_view(
+                gaussians.means, gaussians.covariances,
+                gaussians.harmonics, gaussians.opacities,
+                batch["tgt_c2w"][t], ks[t], image_shape,
+                value_override=z[t])
             depths.append(d[..., 0])
         return jnp.stack(depths)
 

@@ -83,6 +83,66 @@ def bin_gaussians(mean2d: jnp.ndarray, radius: jnp.ndarray,
     return idx, slot_valid
 
 
+def _tile_tables(means, covariances, values, opacities, c2w,
+                 intrinsics_norm, image_shape, capacity: int,
+                 near_clip: float):
+    """Project + depth-sort + bin one view into fixed-capacity tile
+    tables for the compositing kernel.
+
+    Args:
+      values: (G, C) per-gaussian composited values (SH color already
+        evaluated for this view, or a value override like camera depth).
+
+    Returns:
+      data: (n_tiles, 8, cap) kernel rows; vals: (n_tiles, C, cap).
+    """
+    h, w = image_shape
+    tiles_y = -(-h // TILE)
+    tiles_x = -(-w // TILE)
+    mean2d, conic, z, valid, cov_tri = project_gaussians(
+        means, covariances, c2w, intrinsics_norm, image_shape, near_clip)
+
+    order = jnp.argsort(jnp.where(valid, z, jnp.inf))
+    mean2d_s = mean2d[order]
+    conic_s = conic[order]
+    val_s = values[order]
+    op_s = jnp.where(valid, opacities, 0.0)[order]
+    rad_s = splat_radii(cov_tri)[order]
+    valid_s = valid[order]
+
+    idx, slot_valid = bin_gaussians(
+        jax.lax.stop_gradient(mean2d_s), jax.lax.stop_gradient(rad_s),
+        valid_s, tiles_y, tiles_x, capacity)
+    idx = jax.lax.stop_gradient(idx)
+
+    zero_row = jnp.zeros_like(op_s[idx])
+    data = jnp.stack([
+        mean2d_s[:, 0][idx], mean2d_s[:, 1][idx],
+        conic_s[:, 0][idx], conic_s[:, 1][idx], conic_s[:, 2][idx],
+        jnp.where(slot_valid, op_s[idx], 0.0),
+        zero_row, zero_row,
+    ], axis=1)                                            # (T, 8, cap)
+    vals = jnp.swapaxes(val_s[idx], 1, 2)                 # (T, C, cap)
+    return data, vals
+
+
+def _sh_values(means, harmonics, c2w):
+    """Per-gaussian SH color for one camera (G, 3)."""
+    cam_pos = c2w[:3, 3]
+    dirs = means - cam_pos
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
+    return eval_sh_color(harmonics, dirs)
+
+
+def _assemble_tiles(out, tiles_y, tiles_x, n_ch, h, w, background):
+    """(n_tiles, C+1, P) kernel output -> (H, W, C) with background."""
+    out = out.reshape(tiles_y, tiles_x, n_ch + 1, TILE, TILE)
+    out = out.transpose(0, 3, 1, 4, 2).reshape(
+        tiles_y * TILE, tiles_x * TILE, n_ch + 1)[:h, :w]
+    rgb, t_final = out[..., :n_ch], out[..., n_ch:]
+    return rgb + t_final * background[None, None, :]
+
+
 def render_view_tiled(means: jnp.ndarray, covariances: jnp.ndarray,
                       harmonics: jnp.ndarray, opacities: jnp.ndarray,
                       c2w: jnp.ndarray, intrinsics_norm: jnp.ndarray,
@@ -98,61 +158,74 @@ def render_view_tiled(means: jnp.ndarray, covariances: jnp.ndarray,
     h, w = image_shape
     tiles_y = -(-h // TILE)
     tiles_x = -(-w // TILE)
-    mean2d, conic, z, valid, cov_tri = project_gaussians(
-        means, covariances, c2w, intrinsics_norm, image_shape, near_clip)
-
-    if value_override is None:
-        cam_pos = c2w[:3, 3]
-        dirs = means - cam_pos
-        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-12)
-        values = eval_sh_color(harmonics, dirs)           # (G, 3)
-    else:
-        values = value_override
+    values = (_sh_values(means, harmonics, c2w)
+              if value_override is None else value_override)
     n_ch = values.shape[-1]
     if background is None:
         background = jnp.zeros((n_ch,), values.dtype)
 
-    order = jnp.argsort(jnp.where(valid, z, jnp.inf))
-    mean2d_s = mean2d[order]
-    conic_s = conic[order]
-    val_s = values[order]
-    op_s = jnp.where(valid, opacities, 0.0)[order]
-    rad_s = splat_radii(cov_tri)[order]
-    valid_s = valid[order]
-
-    idx, slot_valid = bin_gaussians(
-        jax.lax.stop_gradient(mean2d_s), jax.lax.stop_gradient(rad_s),
-        valid_s, tiles_y, tiles_x, capacity)
-    idx = jax.lax.stop_gradient(idx)
-
-    cap = idx.shape[1]
-    zero_row = jnp.zeros_like(op_s[idx])
-    data = jnp.stack([
-        mean2d_s[:, 0][idx], mean2d_s[:, 1][idx],
-        conic_s[:, 0][idx], conic_s[:, 1][idx], conic_s[:, 2][idx],
-        jnp.where(slot_valid, op_s[idx], 0.0),
-        zero_row, zero_row,
-    ], axis=1)                                            # (T, 8, cap)
-    vals = jnp.swapaxes(val_s[idx], 1, 2)                 # (T, C, cap)
-
+    data, vals = _tile_tables(means, covariances, values, opacities, c2w,
+                              intrinsics_norm, image_shape, capacity,
+                              near_clip)
     out = composite_tiles(data, vals, tiles_x, TILE, TILE,
-                          min(k_chunk, cap))              # (T, C+1, P)
-    out = out.reshape(tiles_y, tiles_x, n_ch + 1, TILE, TILE)
-    out = out.transpose(0, 3, 1, 4, 2).reshape(
-        tiles_y * TILE, tiles_x * TILE, n_ch + 1)[:h, :w]
-    rgb, t_final = out[..., :n_ch], out[..., n_ch:]
-    return rgb + t_final * background[None, None, :]
+                          min(k_chunk, data.shape[2]))    # (T, C+1, P)
+    return _assemble_tiles(out, tiles_y, tiles_x, n_ch, h, w, background)
 
 
 def render_views_tiled(means, covariances, harmonics, opacities, c2ws,
                        intrinsics_norm, image_shape, background=None,
-                       capacity: int = 1024) -> jnp.ndarray:
-    """Tiled twin of ops.splat.render_views ((T, H, W, 3) output)."""
+                       capacity: int = 1024, near_clip: float = 0.2,
+                       values_override: Optional[jnp.ndarray] = None,
+                       k_chunk: int = 512) -> jnp.ndarray:
+    """All T views composited in ONE kernel launch ((T, H, W, C) output).
 
-    def one(args):
-        c2w, k = args
-        return render_view_tiled(means, covariances, harmonics, opacities,
-                                 c2w, k, image_shape, background,
-                                 capacity=capacity)
+    The per-view prologue (project / sort / bin — a multi-gather
+    composite, hence lax.scan rather than vmap: see the real-TPU
+    miscompile note in ops/voxel_lift.py) produces each view's tile
+    tables; view v's 2D means are then shifted by v * tiles_y * TILE in
+    y, so the concatenated tile list reads to the kernel's
+    ``t // tiles_x`` pixel-coordinate map as one tall virtual canvas of
+    vertically stacked views.  One `composite_tiles` call rasterises
+    every view's tiles — T x fewer kernel dispatches than the previous
+    per-target python loop, with identical math (the y shift cancels in
+    the kernel's dx/dy).
 
-    return jax.lax.map(one, (c2ws, intrinsics_norm))
+    Args:
+      values_override: optional (T, G, C) per-view composited values
+        (e.g. per-view camera z for depth rendering); default SH color.
+    """
+    h, w = image_shape
+    tiles_y = -(-h // TILE)
+    tiles_x = -(-w // TILE)
+    t_views = c2ws.shape[0]
+    n_ch = 3 if values_override is None else values_override.shape[-1]
+    if background is None:
+        background = jnp.zeros((n_ch,), jnp.float32)
+
+    y_offsets = (jnp.arange(t_views, dtype=jnp.float32)
+                 * float(tiles_y * TILE))
+
+    def body(_, xs):
+        if values_override is None:
+            c2w, k, off = xs
+            values = _sh_values(means, harmonics, c2w)
+        else:
+            c2w, k, off, values = xs
+        data, vals = _tile_tables(means, covariances, values, opacities,
+                                  c2w, k, image_shape, capacity, near_clip)
+        data = data.at[:, 1, :].add(off)                  # shift my
+        return None, (data, vals)
+
+    xs = ((c2ws, intrinsics_norm, y_offsets) if values_override is None
+          else (c2ws, intrinsics_norm, y_offsets, values_override))
+    _, (data, vals) = jax.lax.scan(body, None, xs)
+    n_tiles = tiles_y * tiles_x
+    cap = data.shape[-1]
+    out = composite_tiles(data.reshape(t_views * n_tiles, 8, cap),
+                          vals.reshape(t_views * n_tiles, n_ch, cap),
+                          tiles_x, TILE, TILE, min(k_chunk, cap))
+    out = out.reshape(t_views, n_tiles, n_ch + 1, TILE * TILE)
+    return jnp.stack([
+        _assemble_tiles(out[t], tiles_y, tiles_x, n_ch, h, w, background)
+        for t in range(t_views)
+    ])

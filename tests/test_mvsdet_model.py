@@ -94,3 +94,68 @@ class TestDepthSupervision:
                                         mutable=["batch_stats"])
         assert "loss_depth" in aux
         assert np.isfinite(float(aux["loss_depth"]))
+
+
+class TestFullBatchBN:
+    """Faithful-training BatchNorm: when cost_reg_norm='batch' and
+    train=True, the sweep scan collapses to one full-view-batch chunk so
+    BN statistics match the reference's full-batch BatchNorm3d
+    (mvsnet.py:73-113) regardless of the configured sweep_chunk."""
+
+    def test_train_outputs_and_stats_chunk_invariant(self):
+        import dataclasses
+
+        from mvsdet_tpu.config import tiny_test_config
+
+        cfg = tiny_test_config()
+        mc = dataclasses.replace(cfg.model, cost_reg_norm="batch")
+        batch_np = make_synthetic_scene(cfg, seed=3, n_views=4, n_targets=2)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+        outs, stats = [], []
+        for chunk in (1, 2, 4):
+            model = MVSDet(mc, sweep_chunk=chunk)
+            variables = model.init(jax.random.PRNGKey(1), batch,
+                                   method=MVSDet.loss)
+            (_, aux), mut = model.apply(variables, batch,
+                                        method=MVSDet.loss,
+                                        mutable=["batch_stats"])
+            out = model.apply(variables, batch, train=True,
+                              mutable=["batch_stats"])[0]
+            outs.append(np.asarray(out["prob"]))
+            stats.append(mut["batch_stats"])
+        for i in (1, 2):
+            np.testing.assert_allclose(outs[i], outs[0], rtol=2e-3,
+                                       atol=2e-4)
+            a = jax.tree_util.tree_leaves(stats[0])
+            b = jax.tree_util.tree_leaves(stats[i])
+            for x, y in zip(a, b):
+                np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                           rtol=2e-3, atol=2e-4)
+
+    def test_bn_train_step_differentiable(self):
+        import dataclasses
+
+        from mvsdet_tpu.config import tiny_test_config
+
+        cfg = tiny_test_config()
+        mc = dataclasses.replace(cfg.model, cost_reg_norm="batch")
+        batch_np = make_synthetic_scene(cfg, seed=4, n_views=4, n_targets=2)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        model = MVSDet(mc, sweep_chunk=2)
+        variables = model.init(jax.random.PRNGKey(2), batch,
+                               method=MVSDet.loss)
+        others = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(p):
+            (total, _), _ = model.apply({"params": p, **others}, batch,
+                                        method=MVSDet.loss,
+                                        mutable=["batch_stats"])
+            return total
+
+        g = jax.grad(loss_fn)(variables["params"])
+        costreg_norm = sum(
+            float(jnp.sum(jnp.abs(l)))
+            for k, l in jax.tree_util.tree_leaves_with_path(g)
+            if "cost_reg" in jax.tree_util.keystr(k))
+        assert np.isfinite(costreg_norm) and costreg_norm > 0

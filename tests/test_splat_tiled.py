@@ -150,3 +150,42 @@ class TestTiledVsOracle:
         imgs_o = splat.render_views(m, c, h, o, c2ws, ks, (32, 32))
         np.testing.assert_allclose(np.asarray(imgs_t), np.asarray(imgs_o),
                                    atol=1e-3)
+
+    def test_batched_views_equal_per_view_launches(self):
+        """The single-launch multi-view path (stacked virtual canvas,
+        y-shifted tile tables) must reproduce per-view render_view_tiled
+        launches exactly — the y shift cancels in the kernel's dx/dy."""
+        m, c, h, o = random_cloud(40, seed=11)
+        c2ws = jnp.stack([look_at_c2w([0, 0, 0], [0, 0, 2.5]),
+                          look_at_c2w([0.4, 0.2, 0], [0, 0, 2.5]),
+                          look_at_c2w([-0.3, 0, 0.1], [0, 0, 2.5])])
+        ks = jnp.stack([norm_k()] * 3)
+        batched = splat_tiles.render_views_tiled(m, c, h, o, c2ws, ks,
+                                                 (32, 48), capacity=64)
+        for t in range(3):
+            single = splat_tiles.render_view_tiled(m, c, h, o, c2ws[t],
+                                                   ks[t], (32, 48),
+                                                   capacity=64)
+            np.testing.assert_allclose(np.asarray(batched[t]),
+                                       np.asarray(single), atol=1e-5,
+                                       err_msg=f"view {t}")
+
+    def test_batched_values_override_depth_mode(self):
+        """values_override (per-view camera z) composites per view."""
+        m, c, h, o = random_cloud(30, seed=13)
+        c2ws = jnp.stack([look_at_c2w([0, 0, 0], [0, 0, 2.5]),
+                          look_at_c2w([0.5, 0, 0], [0, 0, 2.5])])
+        ks = jnp.stack([norm_k()] * 2)
+        w2cs = jnp.linalg.inv(c2ws)
+        z = (jnp.einsum("gi,ti->tg", m, w2cs[:, 2, :3])
+             + w2cs[:, 2, 3][:, None])[..., None]
+        batched = splat_tiles.render_views_tiled(
+            m, c, h, o, c2ws, ks, (32, 32), capacity=64,
+            values_override=z)
+        for t in range(2):
+            single = splat_tiles.render_view_tiled(
+                m, c, h, o, c2ws[t], ks[t], (32, 32), capacity=64,
+                value_override=z[t])
+            np.testing.assert_allclose(np.asarray(batched[t]),
+                                       np.asarray(single), atol=1e-5,
+                                       err_msg=f"view {t}")
