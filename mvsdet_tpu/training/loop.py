@@ -255,9 +255,16 @@ def fit(model: MVSDet, tx, state: TrainState,
         log_fn: Callable[[int, Dict], None] = None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_every: Optional[int] = None):
-    """Minimal step-driven training loop."""
+    """Minimal step-driven training loop.
+
+    Batches are staged one ahead on a background thread while the
+    device runs the current step (data/prefetch.py — the reference's
+    DataLoader-workers overlap).
+    """
+    from mvsdet_tpu.data.prefetch import prefetch_iterator
+
     step_fn = make_jitted_train_step(model, tx)
-    it = iter(batches)
+    it = prefetch_iterator(iter(batches))
     for i in range(num_steps):
         batch = next(it)
         state, metrics = step_fn(state, batch)

@@ -157,6 +157,59 @@ class TestEvaluateScenes:
             assert sharded[key] == pytest.approx(v, abs=1e-5), key
 
 
+class TestPrefetch:
+    """The background staging thread (data/prefetch.py) must change
+    timing only, never values or order."""
+
+    def test_prefetch_iterator_order_and_exhaustion(self):
+        from mvsdet_tpu.data.prefetch import prefetch_iterator
+
+        assert list(prefetch_iterator(range(7), depth=2)) == list(range(7))
+        assert list(prefetch_iterator([], depth=1)) == []
+
+    def test_prefetcher_callable_order(self):
+        import itertools
+
+        from mvsdet_tpu.data.prefetch import Prefetcher
+
+        c = itertools.count()
+        p = Prefetcher(lambda: next(c), depth=2)
+        got = [p() for _ in range(6)]
+        p.close()
+        assert got == list(range(6))
+
+    def test_evaluate_scenes_matches_unprefetched_loop(self, setup):
+        """Prefetched evaluate_scenes == a plain synchronous loop over
+        the same predict_fn feeding the same metric functions."""
+        import jax.numpy as jnp
+
+        from mvsdet_tpu.evaluation.harness import (evaluate_scenes,
+                                                   make_predict_fn)
+        from mvsdet_tpu.evaluation.indoor_eval import indoor_map
+
+        cfg, model, variables, _ = setup
+        scenes = [make_synthetic_scene(cfg, seed=s, n_views=4, n_targets=2)
+                  for s in range(3)]
+        predict = make_predict_fn(model, variables)
+
+        results = evaluate_scenes(predict, scenes,
+                                  num_classes=cfg.model.head.n_classes)
+
+        preds, gts = [], []
+        for scene in scenes:
+            out = {k: np.asarray(v) for k, v in predict(
+                {k: jnp.asarray(v) for k, v in scene.items()}).items()}
+            m = out["mask"]
+            preds.append({"boxes": out["boxes"][m], "scores": out["scores"][m],
+                          "labels": out["labels"][m]})
+            gm = np.asarray(scene["gt_mask"])
+            gts.append({"boxes": np.asarray(scene["gt_boxes"])[gm],
+                        "labels": np.asarray(scene["gt_labels"])[gm]})
+        golden = indoor_map(preds, gts, num_classes=cfg.model.head.n_classes)
+        for key, v in golden.items():
+            assert results[key] == pytest.approx(v, abs=1e-12), key
+
+
 class TestBoxVis:
     """Projected 3D-box overlays (ref visualize_bbox, mvsdet.py:976-982)."""
 

@@ -203,6 +203,12 @@ def main():
         def next_batch():
             return next(it)
 
+    # overlap host staging of batch i+1 with the device step i (the
+    # reference gets this from DataLoader num_workers; SURVEY §3.4)
+    from mvsdet_tpu.data.prefetch import Prefetcher
+
+    next_batch = Prefetcher(next_batch)
+
     # ---- per-epoch validation + best-by-mAP@0.25 checkpoint ----------
     val_scenes = None
     if args.val_synthetic:
