@@ -42,11 +42,28 @@ SWEEP_CHUNK = int(os.environ.get("BENCH_SWEEP_CHUNK", "8"))
 # rematerialise sweep chunks in backward (1) or keep activations (0)
 SWEEP_REMAT = os.environ.get("BENCH_SWEEP_REMAT", "1") == "1"
 
-# step FLOP estimate for the MFU report: forward ~4.2 TFLOP/scene
-# (40 x [95 GFLOP costreg + ~6.5 GFLOP resnet50@240x320 + sweep]),
-# train step ~3x forward.  Used when the compiled executable exposes no
-# cost analysis (the axon remote backend does not).
-STEP_FLOP_ESTIMATE = 12.6e12
+# step FLOP estimate for the MFU report at the DEFAULT workload:
+# forward ~4.2 TFLOP/scene (40 x [95 GFLOP costreg + ~6.5 GFLOP
+# resnet50@240x320 + sweep]), train step ~3x forward.  Used when the
+# compiled executable exposes no cost analysis (the axon remote backend
+# does not).
+_DEFAULT_STEP_FLOP = 12.6e12
+_DEFAULT_N_SRC = 40
+_DEFAULT_IMAGE_HW = (240, 320)
+
+
+def step_flop_estimate(n_src: int, image_hw) -> float:
+    """Scale the default-workload estimate by view and pixel count.
+
+    Every FLOP-dominant phase (resnet, sweep, costreg, lift) is linear
+    in both the number of source views and the image area, so off-default
+    workloads (config overrides) keep an honest MFU denominator.
+    SWEEP_CHUNK only reschedules the same FLOPs and does not enter.
+    """
+    scale = ((n_src / _DEFAULT_N_SRC)
+             * (image_hw[0] * image_hw[1])
+             / (_DEFAULT_IMAGE_HW[0] * _DEFAULT_IMAGE_HW[1]))
+    return _DEFAULT_STEP_FLOP * scale
 
 # bf16 peak TFLOP/s by device kind (public cloud specs)
 _PEAKS = (("v6", 918e12), ("v5p", 459e12), ("v5", 197e12), ("v4", 275e12))
@@ -116,7 +133,8 @@ def main():
     floor = dispatch_floor()
     scenes_per_s = 1.0 / t_step
     peak = _bf16_peak(jax.devices()[0])
-    mfu = STEP_FLOP_ESTIMATE / t_step / peak
+    step_flops = step_flop_estimate(n_src, cfg.model.image_size)
+    mfu = step_flops / t_step / peak
     print(json.dumps({
         "metric": "full_train_step_scenes_per_s",
         "value": round(scenes_per_s, 3),
@@ -128,10 +146,11 @@ def main():
         # reading MICRO timings; the step headline barely notices it
         "dispatch_floor_ms": round(floor * 1e3, 1),
         "mfu": round(mfu, 4),
-        "mfu_note": "step FLOP estimate %.1fT / measured %.0fms / bf16 peak "
-                    "%.0fT (%s)" % (STEP_FLOP_ESTIMATE / 1e12, t_step * 1e3,
-                                    peak / 1e12,
-                                    jax.devices()[0].device_kind),
+        "mfu_note": "step FLOP estimate %.1fT (scaled from 12.6T default "
+                    "workload by views x pixels) / measured %.0fms / bf16 "
+                    "peak %.0fT (%s)" % (step_flops / 1e12, t_step * 1e3,
+                                         peak / 1e12,
+                                         jax.devices()[0].device_kind),
         "sweep_remat": SWEEP_REMAT,
         "workload": {"n_src_views": n_src, "n_targets": n_tgt,
                      "image": list(cfg.model.image_size),

@@ -42,7 +42,12 @@ def _draw_line(img: np.ndarray, p0, p1, color) -> None:
     """Clipped line draw by dense sampling (host-side debug dump; speed
     is irrelevant next to the device predict)."""
     h, w = img.shape[:2]
-    n = int(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1)) * 2
+    # cap the sample count: a corner barely past the near-plane cull can
+    # project to coords of order 1e6+, and an uncapped n would allocate
+    # arrays of that length per edge — 4*max(h,w) covers every on-screen
+    # segment at sub-pixel steps
+    n = int(min(max(abs(p1[0] - p0[0]), abs(p1[1] - p0[1]), 1),
+                2 * max(h, w))) * 2
     ts = np.linspace(0.0, 1.0, n)
     xs = np.round(p0[0] + (p1[0] - p0[0]) * ts).astype(np.int64)
     ys = np.round(p0[1] + (p1[1] - p0[1]) * ts).astype(np.int64)

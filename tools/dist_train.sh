@@ -24,8 +24,20 @@ for ((i = 0; i < NPROCS; i++)); do
   python "$DIR/train.py" "$@" &
   pids+=($!)
 done
+# Fail fast: if any worker dies, kill the rest immediately instead of
+# letting them block in jax.distributed collectives until the
+# distributed-service timeout.
 rc=0
-for pid in "${pids[@]}"; do
-  wait "$pid" || rc=$?
+remaining=$NPROCS
+while ((remaining > 0)); do
+  set +e
+  wait -n   # reap whichever worker exits next
+  st=$?
+  set -e
+  if ((st != 0 && rc == 0)); then
+    rc=$st
+    kill "${pids[@]}" 2>/dev/null || true
+  fi
+  remaining=$((remaining - 1))
 done
 exit $rc
