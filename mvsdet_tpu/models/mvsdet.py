@@ -324,18 +324,22 @@ class MVSDet(nn.Module):
                               batch["origin"]).reshape(3, -1).T  # (V, 3)
         lift_fn = (lift_features_to_voxels_pallas
                    if mc.lift_impl == "pallas" else lift_features_to_voxels)
+        # gather in the compute dtype: on TPU the features ARE the
+        # backbone's bf16 values, so re-narrowing is lossless and halves
+        # the (V, C)-per-view gather traffic; the lift accumulates fp32
+        lift_feats = feats32.astype(self.dtype)
         if view_axis is not None:
             # each shard lifts its own views; voxel volume + view counts
             # reduce over ICI (the reference's volume.sum(dim=0),
             # mvsdet.py:511-513, as a psum)
             vol_sum, valid_cnt = lift_fn(
-                feats32[ref_ids], proj34[ref_ids], est_depth[ref_ids],
+                lift_feats[ref_ids], proj34[ref_ids], est_depth[ref_ids],
                 est_prob[ref_ids], points, mc.voxel_size[2])
             vol_sum = jax.lax.psum(vol_sum, view_axis)
             valid_cnt = jax.lax.psum(valid_cnt, view_axis)
         else:
             vol_sum, valid_cnt = lift_fn(
-                feats32, proj34, est_depth, est_prob, points,
+                lift_feats, proj34, est_depth, est_prob, points,
                 mc.voxel_size[2])
         volume = finalize_volume(vol_sum, valid_cnt)          # (V, C)
         nx, ny, nz = mc.n_voxels

@@ -132,13 +132,14 @@ def lift_features_to_voxels(
         contrib, valid = _lift_single_view(feat, proj, d, p, points,
                                            voxel_size_z)
         mf = m.astype(vol.dtype)
-        # contrib promotes to f32 via the prob weights; keep the carry
-        # in the feature dtype (bf16-safe)
+        # features may arrive bf16 (halves the gather traffic; lossless
+        # when they are the backbone's own bf16 output), but the
+        # 40-view accumulation always carries fp32
         vol = vol + contrib.astype(vol.dtype) * mf
         cnt = cnt + valid.astype(cnt.dtype) * mf
         return (vol, cnt), None
 
-    init = (jnp.zeros((v, c), features.dtype), jnp.zeros((v,), jnp.float32))
+    init = (jnp.zeros((v, c), jnp.float32), jnp.zeros((v,), jnp.float32))
     (vol, cnt), _ = jax.lax.scan(
         body, init, (features, projections, est_depth, prob_norm, view_mask))
     return vol, cnt

@@ -96,11 +96,13 @@ class TestDepthSupervision:
         assert np.isfinite(float(aux["loss_depth"]))
 
 
+@pytest.mark.slow
 class TestFullBatchBN:
     """Faithful-training BatchNorm: when cost_reg_norm='batch' and
     train=True, the sweep scan collapses to one full-view-batch chunk so
     BN statistics match the reference's full-batch BatchNorm3d
-    (mvsnet.py:73-113) regardless of the configured sweep_chunk."""
+    (mvsnet.py:73-113) regardless of the configured sweep_chunk.
+    (slow lane: three model inits + train steps, ~3 min on 1 CPU)"""
 
     def test_train_outputs_and_stats_chunk_invariant(self):
         import dataclasses
