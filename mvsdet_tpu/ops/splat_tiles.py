@@ -102,27 +102,30 @@ def _tile_tables(means, covariances, values, opacities, c2w,
     mean2d, conic, z, valid, cov_tri = project_gaussians(
         means, covariances, c2w, intrinsics_norm, image_shape, near_clip)
 
+    g = means.shape[0]
+    n_ch = values.shape[-1]
     order = jnp.argsort(jnp.where(valid, z, jnp.inf))
-    mean2d_s = mean2d[order]
-    conic_s = conic[order]
-    val_s = values[order]
-    op_s = jnp.where(valid, opacities, 0.0)[order]
+    # pack every per-gaussian field into ONE row so the tile-table build
+    # is a single contiguous row gather: separate per-field gathers
+    # (8 scalar takes sharing one index set) measured 16.6 ms of the
+    # 24 ms render at bench scale — the dominant stage — while one
+    # (G, 8+C) row gather amortises to row DMAs
+    packed = jnp.concatenate([
+        mean2d, conic, jnp.where(valid, opacities, 0.0)[:, None],
+        jnp.zeros((g, 2), mean2d.dtype), values,
+    ], axis=1)[order]                                     # (G, 8+C)
     rad_s = splat_radii(cov_tri)[order]
-    valid_s = valid[order]
 
     idx, slot_valid = bin_gaussians(
-        jax.lax.stop_gradient(mean2d_s), jax.lax.stop_gradient(rad_s),
-        valid_s, tiles_y, tiles_x, capacity)
+        jax.lax.stop_gradient(packed[:, :2]),
+        jax.lax.stop_gradient(rad_s),
+        valid[order], tiles_y, tiles_x, capacity)
     idx = jax.lax.stop_gradient(idx)
 
-    zero_row = jnp.zeros_like(op_s[idx])
-    data = jnp.stack([
-        mean2d_s[:, 0][idx], mean2d_s[:, 1][idx],
-        conic_s[:, 0][idx], conic_s[:, 1][idx], conic_s[:, 2][idx],
-        jnp.where(slot_valid, op_s[idx], 0.0),
-        zero_row, zero_row,
-    ], axis=1)                                            # (T, 8, cap)
-    vals = jnp.swapaxes(val_s[idx], 1, 2)                 # (T, C, cap)
+    rows = packed[idx]                                    # (T, cap, 8+C)
+    rows = jnp.where(slot_valid[..., None], rows, 0.0)    # empty slots -> 0
+    data = jnp.swapaxes(rows[..., :8], 1, 2)              # (T, 8, cap)
+    vals = jnp.swapaxes(rows[..., 8:8 + n_ch], 1, 2)      # (T, C, cap)
     return data, vals
 
 
