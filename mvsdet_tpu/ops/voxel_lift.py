@@ -49,8 +49,15 @@ def _pixel_weights(projection: jnp.ndarray, est_depth: jnp.ndarray,
     valid0 = (x >= 0) & (y >= 0) & (x < w) & (y < h) & (z > 0)
 
     pix = jnp.clip(y, 0, h - 1) * w + jnp.clip(x, 0, w - 1)   # (V,)
-    d_k = jnp.take(est_depth.reshape(h * w, -1), pix, axis=0)  # (V, K)
-    p_k = jnp.take(prob_norm.reshape(h * w, -1), pix, axis=0)  # (V, K)
+    # one packed row gather instead of two takes sharing one index set
+    # (contiguous 2K-float rows amortise to row DMAs; also shrinks the
+    # multi-take-shared-index pattern the TPU backend miscompiles under
+    # vmap — see module docstring)
+    k = est_depth.shape[-1]
+    dp = jnp.concatenate([est_depth.reshape(h * w, k),
+                          prob_norm.reshape(h * w, k)], axis=1)
+    rows = jnp.take(dp, pix, axis=0)                          # (V, 2K)
+    d_k, p_k = rows[:, :k], rows[:, k:]
 
     window = (valid0[:, None]
               & (z[:, None] > d_k - voxel_size_z)
