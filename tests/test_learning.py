@@ -18,8 +18,15 @@ rise-and-hold shape is not):
   8-virtual-device CPU (the pytest env), 200 steps:
                                  arkit 0, 0, .53, .41, .50, .54, .52,
                                  .50, .50 — final 0.50, drawdown 0.04
-Gates are set below the weakest observed plateau; the drawdown assert
-is the stability claim.
+Why the height varies (round-5 bisection,
+experiments/plateau_bisect/README.md): the single-device overfit path
+has no device-count-dependent computation; the cross-env spread equals
+the within-env across-seed spread (TPU seeds 0-2: 0.90/1.00/0.75;
+8-dev CPU seeds: 0.52-1.00), i.e. the 2-scene overfit is chaotic and
+each (env, seed) lands in its own basin — environment differences act
+only as seed-sized fp perturbations, not as a numerics defect.  Gates
+are set below the weakest observed basin; the drawdown assert is the
+stability claim.
 """
 
 import json

@@ -58,6 +58,32 @@ def test_dist_train_launcher_lockstep():
         assert vals[0] == vals[1], (step, vals)
 
 
+def test_dist_train_launcher_fail_fast(tmp_path):
+    """When one worker dies, the launcher kills the survivors instead of
+    letting them hang in collectives until the distributed-service
+    timeout (round-4 advisor note).  A 2-worker fake where worker 0
+    exits 3 and worker 1 sleeps 60 s must finish in seconds with
+    worker 0's code."""
+    import shutil
+    import time
+
+    tools = tmp_path / "tools"
+    tools.mkdir()
+    shutil.copy(os.path.join(REPO, "tools", "dist_train.sh"),
+                tools / "dist_train.sh")
+    (tools / "train.py").write_text(
+        "import os, sys, time\n"
+        "if os.environ.get('MVSDET_PROCESS_ID') == '0':\n"
+        "    sys.exit(3)\n"
+        "time.sleep(60)\n")
+    t0 = time.time()
+    res = subprocess.run([str(tools / "dist_train.sh"), "2"],
+                         capture_output=True, text=True, timeout=45)
+    elapsed = time.time() - t0
+    assert res.returncode == 3, (res.returncode, res.stderr[-500:])
+    assert elapsed < 30, f"launcher took {elapsed:.1f}s to fail fast"
+
+
 def test_two_process_lockstep_train_step():
     port = _free_port()
     # strip the axon TPU plugin (PYTHONPATH sitecustomize): it eagerly
