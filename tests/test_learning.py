@@ -65,7 +65,14 @@ def test_rotated_map_rises_when_overfitting():
     """ARKit yaw head learns end to end with the rotated-IoU box loss
     (rotated assignment -> soft rotated-IoU loss -> rotated NMS ->
     rotated-IoU eval).  Also the regression test for the corner-loss
-    size-collapse bug (mAP pinned at 0)."""
-    history = run(steps=200, eval_every=50, n_scenes=2, lr=1e-3, seed=0,
+    size-collapse bug (mAP pinned at 0).
+
+    Seed 1 is the basin-stable seed: 1.000 final in all three
+    environments of the round-5 plateau sweep
+    (experiments/plateau_bisect/README.md), so the gate sits 0.4 below
+    the expected plateau.  Seed 0's cpu8 basin is 0.52, which had
+    forced the old 0.4 gate.
+    """
+    history = run(steps=200, eval_every=50, n_scenes=2, lr=1e-3, seed=1,
                   log_fn=lambda s: None, arkit=True)
-    _assert_stable_climb(history, final_min=0.4)
+    _assert_stable_climb(history, final_min=0.6)
