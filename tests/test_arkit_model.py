@@ -28,6 +28,7 @@ def arkit_setup():
     return cfg, model, variables, batch
 
 
+@pytest.mark.slow
 class TestArkitModel:
     def test_batch_has_per_view_intrinsics_and_yaw_boxes(self, arkit_setup):
         cfg, model, variables, batch = arkit_setup

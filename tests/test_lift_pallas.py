@@ -5,6 +5,7 @@ features AND to est_prob through the custom VJP).  Runs in interpret
 mode on CPU (ops/pallas/lift_kernel.py picks interpret automatically).
 """
 
+import pytest
 import numpy as np
 
 import jax
@@ -69,6 +70,7 @@ class TestLiftPallas:
         np.testing.assert_allclose(np.asarray(vol_p), np.asarray(vol_x),
                                    atol=1e-5, rtol=1e-5)
 
+    @pytest.mark.slow
     def test_model_level_lift_impl_flag(self):
         """MVSDet with cfg.model.lift_impl='pallas' produces a volume
         close to the default XLA lift (same params, same batch)."""

@@ -129,6 +129,7 @@ class TestNerfDetLegacy:
         pred = model.apply(variables, batch, method=NerfDetLegacy.predict)
         assert pred["boxes"].shape == (cfg.model.head.max_detections, 6)
 
+    @pytest.mark.slow
     def test_gradients_reach_nerf_mlp(self, legacy_setup):
         cfg, model, variables, batch = legacy_setup
         params = variables["params"]

@@ -111,6 +111,7 @@ class TestViewParallel:
         np.testing.assert_allclose(float(metrics["loss"]), float(want),
                                    rtol=2e-3)
 
+    @pytest.mark.slow
     def test_data_x_view_step_updates_params(self, setup):
         cfg, scenes, model, state, tx = setup
         mesh = make_mesh(data=2, view=2)
@@ -171,6 +172,7 @@ class TestMultiHost:
                                       batch["images"])
         assert out["images"].sharding.spec == specs["images"]
 
+    @pytest.mark.slow
     def test_global_batch_drives_sharded_step(self, setup):
         from mvsdet_tpu.parallel import multihost
         from mvsdet_tpu.parallel.sharding import batch_pspecs

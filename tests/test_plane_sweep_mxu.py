@@ -120,6 +120,7 @@ class TestSweepEquivalence:
         np.testing.assert_allclose(out2, 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 class TestRealisticFeatures:
     """MXU-vs-gather agreement on features with REAL statistics.
 

@@ -1,5 +1,6 @@
 """Training-loop and optimizer tests."""
 
+import pytest
 import numpy as np
 
 import jax
@@ -55,6 +56,7 @@ class TestOptim:
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases_on_repeated_scene(self, tmp_path):
         import dataclasses
         cfg = tiny_test_config()
